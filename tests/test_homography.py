@@ -1,0 +1,102 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vggt_slam_tpu.ops import homography, lie
+
+jax.config.update("jax_enable_x64", True)
+
+
+def random_sl4(rng, scale=0.1):
+    xi = rng.uniform(-scale, scale, size=15)
+    return np.asarray(lie.sl4_exp(jnp.asarray(xi)))
+
+
+def make_points(rng, n=200):
+    return rng.uniform(-1, 1, size=(n, 3)) + np.array([0, 0, 3.0])
+
+
+class TestDLT:
+    def test_exact_recovery_minimal(self):
+        rng = np.random.default_rng(0)
+        H_gt = random_sl4(rng)
+        X = make_points(rng, 5)
+        Y = np.asarray(lie.apply_homography(jnp.asarray(H_gt), jnp.asarray(X)))
+        H_est = np.asarray(homography.estimate_3d_homography(
+            jnp.asarray(X[None]), jnp.asarray(Y[None])))[0]
+        np.testing.assert_allclose(H_est / H_est[3, 3] * H_gt[3, 3], H_gt, atol=1e-6)
+
+    def test_exact_recovery_batch(self):
+        rng = np.random.default_rng(1)
+        B = 16
+        Hs = np.stack([random_sl4(rng) for _ in range(B)])
+        X = np.stack([make_points(rng, 8) for _ in range(B)])
+        Y = np.asarray(lie.apply_homography(jnp.asarray(Hs)[:, None, :, :].squeeze(1),
+                                            jnp.asarray(X)))
+        H_est = np.asarray(homography.estimate_3d_homography(jnp.asarray(X), jnp.asarray(Y)))
+        for i in range(B):
+            Hn = H_est[i] * (Hs[i][3, 3] / H_est[i][3, 3])
+            np.testing.assert_allclose(Hn, Hs[i], atol=1e-5)
+
+    def test_unit_det_output(self):
+        rng = np.random.default_rng(2)
+        H_gt = random_sl4(rng)
+        X = make_points(rng, 5)
+        Y = np.asarray(lie.apply_homography(jnp.asarray(H_gt), jnp.asarray(X)))
+        H_est = np.asarray(homography.estimate_3d_homography(
+            jnp.asarray(X[None]), jnp.asarray(Y[None])))[0]
+        np.testing.assert_allclose(np.linalg.det(H_est), 1.0, atol=1e-6)
+
+    def test_degenerate_fallback_identity(self):
+        # All points identical -> rank-deficient system -> identity fallback.
+        X = np.ones((1, 5, 3))
+        Y = np.ones((1, 5, 3)) * 2.0
+        H_est = np.asarray(homography.estimate_3d_homography(jnp.asarray(X), jnp.asarray(Y)))
+        assert np.all(np.isfinite(H_est))
+
+
+class TestRansac:
+    def test_recovers_under_outliers(self):
+        rng = np.random.default_rng(3)
+        H_gt = random_sl4(rng, scale=0.15)
+        X = make_points(rng, 400)
+        Y = np.array(lie.apply_homography(jnp.asarray(H_gt), jnp.asarray(X)))
+        # 30% outliers
+        n_out = 120
+        Y[:n_out] += rng.uniform(0.5, 1.0, size=(n_out, 3))
+        H, count = homography.ransac_projective(
+            jnp.asarray(X), jnp.asarray(Y), key=jax.random.PRNGKey(0))
+        H = np.asarray(H)
+        assert count >= 250
+        err = np.linalg.norm(
+            np.asarray(lie.apply_homography(jnp.asarray(H), jnp.asarray(X[n_out:])))
+            - Y[n_out:], axis=-1)
+        assert np.median(err) < 1e-3
+
+    def test_respects_weight_mask(self):
+        rng = np.random.default_rng(4)
+        H_gt = random_sl4(rng, scale=0.1)
+        X = make_points(rng, 300)
+        Y = np.array(lie.apply_homography(jnp.asarray(H_gt), jnp.asarray(X)))
+        # Corrupt masked-out points completely; mask must protect the fit.
+        w = np.ones(300)
+        w[:150] = 0.0
+        Y[:150] = rng.normal(size=(150, 3)) * 10
+        H, count = homography.ransac_projective(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(w), key=jax.random.PRNGKey(1))
+        err = np.linalg.norm(
+            np.asarray(lie.apply_homography(jnp.asarray(np.asarray(H)), jnp.asarray(X[150:])))
+            - Y[150:], axis=-1)
+        assert np.median(err) < 1e-3
+        assert count <= 150.0 + 1e-6  # masked points can never count
+
+    def test_se3_subset(self):
+        # SE(3) is a subgroup of SL(4); RANSAC should recover rigid motions too.
+        rng = np.random.default_rng(5)
+        T_gt = np.asarray(lie.se3_exp(jnp.asarray(rng.uniform(-0.5, 0.5, size=6))))
+        X = make_points(rng, 200)
+        Y = (T_gt[:3, :3] @ X.T).T + T_gt[:3, 3]
+        H, _ = homography.ransac_projective(
+            jnp.asarray(X), jnp.asarray(Y), key=jax.random.PRNGKey(2))
+        H = np.asarray(H)
+        np.testing.assert_allclose(H / np.abs(H[3, 3]), T_gt, atol=1e-4)
