@@ -100,17 +100,24 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Log map SO(3) -> so(3). Stable for small and near-pi angles."""
-    tr = jnp.clip((R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(tr)
-    # Generic branch: theta / (2 sin theta) * (R - R^T)^vee
+    """Log map SO(3) -> so(3). Stable for small and near-pi angles.
+
+    The angle comes from atan2(|R - R^T|/2, (tr-1)/2) rather than arccos so
+    forward-mode autodiff (used by the pose-graph LM linearization) has
+    finite derivatives at the identity.
+    """
+    cos_theta = jnp.clip((R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5,
+                         -1.0, 1.0)
     vee = jnp.stack(
         [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0],
          R[..., 1, 0] - R[..., 0, 1]], axis=-1)
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
+    sin2 = 0.25 * jnp.sum(vee * vee, axis=-1)
+    sin_theta = jnp.sqrt(sin2 + 1e-24)
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    # Generic branch: theta / (2 sin theta) * (R - R^T)^vee, Taylor near 0.
+    small = sin2 < 1e-12
     scale = jnp.where(small, 0.5 + theta * theta / 12.0,
-                      theta / (2.0 * jnp.where(small, 1.0, sin_theta) + 1e-32))
+                      theta / (2.0 * jnp.where(small, 1.0, sin_theta)))
     w_generic = scale[..., None] * vee
 
     # Near-pi branch: axis from the diagonal of (R + I)/2.
@@ -132,7 +139,7 @@ def so3_log(R: jax.Array) -> jax.Array:
     axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-32)
     w_pi = axis * theta[..., None]
 
-    near_pi = theta > (jnp.pi - 1e-3)
+    near_pi = cos_theta < (-1.0 + 1e-6)
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
