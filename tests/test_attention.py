@@ -1,0 +1,77 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vggt_slam_tpu.ops import attention as attn
+
+
+def make_qkv(rng, B=2, H=4, N=300, D=64, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(size=(B, H, N, D)), dtype=dtype)
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)), dtype=dtype)
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)), dtype=dtype)
+    return q, k, v
+
+
+class TestAgreement:
+    def test_chunked_matches_naive(self):
+        rng = np.random.default_rng(0)
+        q, k, v = make_qkv(rng)
+        out_n = attn.naive_attention(q, k, v)
+        out_c = attn.chunked_attention(q, k, v, chunk=128)
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_n), atol=2e-5)
+
+    def test_flash_interpret_matches_naive(self):
+        rng = np.random.default_rng(1)
+        q, k, v = make_qkv(rng, B=1, H=2, N=384, D=64)
+        out_n = attn.naive_attention(q, k, v)
+        out_f = attn.flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n), atol=2e-5)
+
+    def test_flash_non_divisible_lengths(self):
+        rng = np.random.default_rng(2)
+        q, k, v = make_qkv(rng, B=1, H=1, N=300, D=64)
+        out_n = attn.naive_attention(q, k, v)
+        out_f = attn.flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n), atol=2e-5)
+
+    def test_valid_len_masking(self):
+        rng = np.random.default_rng(3)
+        q, k, v = make_qkv(rng, B=1, H=2, N=256, D=64)
+        # Truth: attention restricted to the first 100 keys.
+        out_ref = attn.naive_attention(q, k[:, :, :100], v[:, :, :100])
+        for impl in ("naive", "chunked"):
+            out = attn.attention(q, k, v, impl=impl, valid_len=100)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                       atol=2e-5, err_msg=impl)
+        out_f = attn.flash_attention(q, k, v, valid_len=100, block_q=128,
+                                     block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref), atol=2e-5)
+
+    def test_bf16_inputs(self):
+        rng = np.random.default_rng(4)
+        q, k, v = make_qkv(rng, B=1, H=1, N=256, D=64, dtype=jnp.bfloat16)
+        out_n = attn.naive_attention(q, k, v).astype(jnp.float32)
+        out_f = attn.flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                                   atol=3e-2, rtol=3e-2)
+
+
+class TestGrad:
+    def test_chunked_is_differentiable(self):
+        rng = np.random.default_rng(5)
+        q, k, v = make_qkv(rng, B=1, H=1, N=64, D=32)
+
+        def loss_c(q, k, v):
+            return jnp.sum(attn.chunked_attention(q, k, v, chunk=32) ** 2)
+
+        def loss_n(q, k, v):
+            return jnp.sum(attn.naive_attention(q, k, v) ** 2)
+
+        gc = jax.grad(loss_c, argnums=(0, 1, 2))(q, k, v)
+        gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gc, gn):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

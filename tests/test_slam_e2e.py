@@ -1,0 +1,173 @@
+"""End-to-end SLAM loop tests on the deterministic fake VGGT.
+
+Mirrors the reference driver's per-submap loop (main.py:86-130): run
+predictions, add points, optimize the graph, write back homographies -
+then checks trajectory recovery (ATE after Sim3 alignment, the evo_ape
+metric of eval_tum.sh) and artifact writers.
+"""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from tests.fake_vggt import FakeVGGT, circular_trajectory, default_K
+from vggt_slam_tpu.slam.solver import Solver
+from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
+from vggt_slam_tpu.slam.alignment import umeyama_sim3_np, rmse
+from vggt_slam_tpu.data.pcd import read_pcd
+
+jax.config.update("jax_enable_x64", True)
+
+IMAGE_HW = (28, 42)
+
+
+def cheap_descriptor(frames):
+    """Content-hash descriptor: distinct images -> distant descriptors."""
+    f = np.asarray(frames).reshape(len(frames), -1)
+    rng = np.random.default_rng(123)
+    proj = rng.normal(size=(f.shape[1], 16))
+    d = f @ proj
+    return d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-9)
+
+
+def run_slam(n_frames=9, submap_size=3, use_sim3=False, scale_schedule=None,
+             max_loops=0):
+    w2c = circular_trajectory(n_frames)
+    K = default_K(IMAGE_HW)
+    model = FakeVGGT(w2c, K, image_hw=IMAGE_HW,
+                     scale_schedule=scale_schedule)
+    solver = Solver(init_conf_threshold=25.0, use_sim3=use_sim3,
+                    retrieval=ImageRetrieval(descriptor_fn=cheap_descriptor))
+
+    frames = [model.make_image(i) for i in range(n_frames)]
+    subset = []
+    for i in range(n_frames):
+        subset.append(i)
+        if len(subset) == submap_size + 1 or i == n_frames - 1:
+            images = np.stack([frames[j] for j in subset])
+            preds = solver.run_predictions(
+                images, model, max_loops,
+                names=[f"{j}.png" for j in subset])
+            solver.add_points(preds)
+            solver.graph.optimize()
+            solver.map.update_submap_homographies(solver.graph)
+            subset = subset[-1:]
+    return solver, w2c
+
+
+def ate_rmse(solver, w2c):
+    """Sim3-aligned trajectory error vs ground truth camera centers."""
+    pred_centers = []
+    for submap in solver.map.ordered_submaps_by_key():
+        poses = submap.get_all_poses_world(ignore_loop_closure_frames=True)
+        pred_centers.extend(p[:3, 3] for p in poses)
+    pred = np.stack(pred_centers)
+    # overlap frames are duplicated across submaps; rebuild the gt list the
+    # same way the solver consumed frames
+    gt = []
+    n_frames = len(w2c)
+    subset = []
+    for i in range(n_frames):
+        subset.append(i)
+        if len(subset) == 4 or i == n_frames - 1:
+            gt.extend(np.linalg.inv(w2c[j])[:3, 3] for j in subset)
+            subset = subset[-1:]
+    gt = np.stack(gt[:len(pred)])
+    s, R, t = umeyama_sim3_np(pred, gt)
+    return rmse((s * (R @ pred.T)).T + t, gt)
+
+
+class TestSL4Mode:
+    def test_trajectory_recovery(self):
+        solver, w2c = run_slam(use_sim3=False)
+        assert solver.map.get_num_submaps() == 3
+        err = ate_rmse(solver, w2c)
+        assert err < 0.01, f"ATE {err}"
+
+    def test_trajectory_recovery_with_scale_drift(self):
+        # Per-submap random scales: SL(4) absorbs them as projective dof.
+        solver, w2c = run_slam(use_sim3=False,
+                               scale_schedule=[1.0, 1.7, 0.6])
+        err = ate_rmse(solver, w2c)
+        assert err < 0.02, f"ATE {err}"
+
+
+class TestSim3Mode:
+    def test_trajectory_recovery_with_scale_drift(self):
+        solver, w2c = run_slam(use_sim3=True, scale_schedule=[1.0, 2.0, 0.5])
+        err = ate_rmse(solver, w2c)
+        assert err < 0.02, f"ATE {err}"
+
+
+class TestArtifacts:
+    def test_writers(self, tmp_path):
+        solver, _ = run_slam()
+        pose_file = tmp_path / "poses.txt"
+        solver.map.write_poses_to_file(str(pose_file))
+        rows = [l.split() for l in open(pose_file)]
+        assert len(rows) == 11  # submaps of 4 + 4 + 3 frames
+        assert all(len(r) == 8 for r in rows)  # id x y z qx qy qz qw
+
+        pcd_file = tmp_path / "result.pcd"
+        solver.map.write_points_to_file(str(pcd_file))
+        pts, colors = read_pcd(str(pcd_file))
+        assert pts.shape[0] > 1000 and colors is not None
+
+        out_dir = tmp_path / "frame_output"
+        solver.map.save_frame_outputs(str(out_dir))
+        files = list(out_dir.glob("*.npz"))
+        # 9 distinct input frames: overlap frames share a filename across
+        # submaps and are overwritten (reference behavior).
+        assert len(files) == 9
+        d = np.load(files[0], allow_pickle=True)
+        assert d["point_map_world"].shape == IMAGE_HW + (3,)
+        assert d["extrinsic_world"].shape == (4, 4)
+
+    def test_framewise_pointclouds(self, tmp_path):
+        solver, _ = run_slam(n_frames=5, submap_size=3)
+        log_dir = tmp_path / "logs"
+        solver.map.save_framewise_pointclouds(str(log_dir))
+        files = sorted(log_dir.glob("*.npz"))
+        assert len(files) >= 5
+        d = np.load(files[0])
+        assert d["pointcloud"].shape == IMAGE_HW + (3,)
+        assert d["mask"].shape == IMAGE_HW
+
+
+class TestLoopClosure:
+    def test_loop_factor_inserted(self):
+        # Trajectory that revisits the start; descriptor is content-based so
+        # the revisited frame matches the first submap.
+        n = 12
+        w2c = circular_trajectory(n)
+        # make the last 2 frames repeat the first two poses (true revisit)
+        w2c[-1] = w2c[0]
+        w2c[-2] = w2c[1]
+        K = default_K(IMAGE_HW)
+        model = FakeVGGT(w2c, K, image_hw=IMAGE_HW)
+        solver = Solver(init_conf_threshold=25.0,
+                        retrieval=ImageRetrieval(descriptor_fn=cheap_descriptor))
+
+        # Frame images: re-used pose -> identical image content -> identical
+        # descriptor -> loop closure fires.
+        frames = [model.make_image(i) for i in range(n)]
+        frames[-1][1:, 5:, 5:] = frames[0][1:, 5:, 5:]
+        frames[-2][1:, 5:, 5:] = frames[1][1:, 5:, 5:]
+
+        subset = []
+        detected_any = False
+        for i in range(n):
+            subset.append(i)
+            if len(subset) == 4 or i == n - 1:
+                images = np.stack([frames[j] for j in subset])
+                preds = solver.run_predictions(
+                    images, model, max_loops=1,
+                    names=[f"{j}.png" for j in subset])
+                detected_any |= len(preds["detected_loops"]) > 0
+                solver.add_points(preds)
+                solver.graph.optimize()
+                solver.map.update_submap_homographies(solver.graph)
+                subset = subset[-1:]
+        assert detected_any
+        assert solver.graph.get_num_loops() >= 1

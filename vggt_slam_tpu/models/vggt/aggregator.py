@@ -1,0 +1,100 @@
+"""Alternating-attention aggregator: the VGGT multi-view trunk.
+
+Per the VGGT paper (PAPERS.md; SURVEY.md section 2.2): each frame's DINO patch
+tokens are prepended with one camera token and `num_register_tokens` register
+tokens (separate parameters for frame 0 vs the rest, which is how the model
+designates the reference view), then processed by `agg_depth` pairs of
+
+  * frame attention  - self-attention within each frame's tokens, and
+  * global attention - self-attention over all frames x all tokens jointly
+    (the O((S*P)^2) hot block; flash kernel on TPU),
+
+with 2D RoPE on patch tokens. The per-depth outputs consumed by downstream
+heads are concat(frame_out, global_out) - 2*agg_dim channels.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vggt_slam_tpu.models.vggt.config import VGGTConfig
+from vggt_slam_tpu.models.vggt.modules import Block, rope_2d_angles
+from vggt_slam_tpu.models.vggt.vit import DinoViT
+
+
+class Aggregator(nn.Module):
+    cfg: VGGTConfig
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> Dict[int, jax.Array]:
+        """images: (S, 3, H, W) in [0,1].
+
+        Returns dict depth_index -> (S, ns + P, 2*agg_dim) token maps for the
+        captured depths (cfg.dpt_layers; always includes the final depth),
+        plus the special-token count under key "patch_start".
+        """
+        cfg = self.cfg
+        S, _, H, W = images.shape
+        h, w = cfg.patch_grid(H, W)
+        P = h * w
+        ns = cfg.tokens_per_frame_special
+
+        x = DinoViT(cfg, name="patch_embed")(images)  # (S, P, enc_dim)
+        if cfg.enc_dim != cfg.agg_dim:
+            x = nn.Dense(cfg.agg_dim, dtype=cfg.dtype, name="input_proj")(x)
+
+        # Camera + register tokens; index 0 params for frame 0, index 1 shared
+        # by all other frames.
+        cam_tok = self.param("camera_token", nn.initializers.normal(0.02),
+                             (2, 1, cfg.agg_dim), jnp.float32)
+        reg_tok = self.param("register_token", nn.initializers.normal(0.02),
+                             (2, cfg.num_register_tokens, cfg.agg_dim), jnp.float32)
+        sel = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.ones((S - 1,), jnp.int32)]) if S > 1 else \
+            jnp.zeros((1,), jnp.int32)
+        special = jnp.concatenate([cam_tok, reg_tok], axis=1)[sel]  # (S, ns, C)
+        x = jnp.concatenate([special.astype(x.dtype), x], axis=1)  # (S, ns+P, C)
+        N = ns + P
+
+        # 2D RoPE angles for the patch grid (shared by every frame).
+        yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        positions = jnp.stack([yy.ravel(), xx.ravel()], axis=-1)  # (P, 2)
+        head_dim = cfg.agg_dim // cfg.agg_heads
+        cos, sin = rope_2d_angles(positions, head_dim, cfg.rope_base)
+        # Global attention sees S repeats of the per-frame patch positions.
+        cos_g = jnp.concatenate([jnp.tile(cos, (S, 1))], axis=0)
+        sin_g = jnp.concatenate([jnp.tile(sin, (S, 1))], axis=0)
+
+        captured: Dict[int, jax.Array] = {}
+        capture_set = set(cfg.dpt_layers) | {cfg.agg_depth - 1}
+        for d in range(cfg.agg_depth):
+            x = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
+                      layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
+                      attn_impl=cfg.attn_impl, name=f"frame_block_{d}")(
+                x, cos, sin, num_special=ns)
+            frame_out = x
+
+            xg = x.reshape(1, S * N, cfg.agg_dim)
+            # Special tokens sit at the head of each frame chunk, interleaved
+            # in the flat sequence; RoPE must skip them. Reorder to
+            # [all specials, all patches] for the rope-aware block, then back.
+            xg = jnp.concatenate(
+                [x[:, :ns].reshape(1, S * ns, cfg.agg_dim),
+                 x[:, ns:].reshape(1, S * P, cfg.agg_dim)], axis=1)
+            xg = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
+                       layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
+                       attn_impl=cfg.attn_impl, name=f"global_block_{d}")(
+                xg, cos_g, sin_g, num_special=S * ns)
+            x = jnp.concatenate(
+                [xg[0, :S * ns].reshape(S, ns, cfg.agg_dim),
+                 xg[0, S * ns:].reshape(S, P, cfg.agg_dim)], axis=1)
+
+            if d in capture_set:
+                captured[d] = jnp.concatenate([frame_out, x], axis=-1)
+
+        captured["patch_start"] = ns
+        return captured

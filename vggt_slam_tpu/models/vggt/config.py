@@ -1,0 +1,78 @@
+"""VGGT model configuration.
+
+Architecture parameters follow the VGGT paper (arXiv 2503.11651; PAPERS.md)
+and the usage evidenced in the reference SLAM (SURVEY.md section 2.2): a
+DINOv2 ViT-L/14 image encoder feeding 24 alternating frame/global attention
+blocks, a camera head emitting a 9-D pose encoding, and DPT-style fusion
+heads for depth / point maps with per-pixel confidence. `tiny()` is a
+CPU-testable configuration with identical structure.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VGGTConfig:
+    img_size: int = 518
+    patch_size: int = 14
+
+    # DINOv2-style image encoder (ViT-L/14 w/ registers)
+    enc_dim: int = 1024
+    enc_depth: int = 24
+    enc_heads: int = 16
+    enc_mlp_ratio: int = 4
+    enc_num_registers: int = 4
+    enc_layerscale: float = 1e-5
+
+    # Alternating-attention aggregator
+    agg_dim: int = 1024
+    agg_depth: int = 24          # pairs of (frame, global) blocks
+    agg_heads: int = 16
+    agg_mlp_ratio: int = 4
+    agg_layerscale: float = 0.01
+    num_register_tokens: int = 4  # per-frame register tokens (+1 camera token)
+    rope_base: float = 100.0
+
+    # Camera head
+    cam_trunk_depth: int = 4
+    cam_iterations: int = 4
+
+    # DPT heads
+    dpt_layers: Tuple[int, ...] = (4, 11, 17, 23)  # captured aggregator depths
+    dpt_features: int = 256
+    dpt_out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
+
+    # Compute
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "chunked"       # "flash" on TPU hot path
+    enable_point_head: bool = True
+    enable_depth_head: bool = True
+
+    @property
+    def tokens_per_frame_special(self) -> int:
+        return 1 + self.num_register_tokens  # camera + registers
+
+    def patch_grid(self, H: int, W: int) -> tuple[int, int]:
+        return H // self.patch_size, W // self.patch_size
+
+    @staticmethod
+    def vggt_1b(**overrides) -> "VGGTConfig":
+        """Full-size configuration matching facebook/VGGT-1B."""
+        return VGGTConfig(**overrides)
+
+    @staticmethod
+    def tiny(**overrides) -> "VGGTConfig":
+        base = dict(
+            img_size=56, patch_size=14,
+            enc_dim=32, enc_depth=2, enc_heads=2,
+            agg_dim=32, agg_depth=4, agg_heads=2,
+            cam_trunk_depth=2, cam_iterations=2,
+            dpt_layers=(1, 3), dpt_features=16, dpt_out_channels=(16, 32),
+            dtype=jnp.float32,
+        )
+        base.update(overrides)
+        return VGGTConfig(**base)

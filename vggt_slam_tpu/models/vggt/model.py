@@ -1,0 +1,69 @@
+"""VGGT: feedforward multi-view geometry transformer (TPU-native).
+
+Produces, for a submap of S frames in ONE forward pass, everything the SLAM
+solver consumes (reference solver.py:469-480): camera pose encodings, depth
+maps + confidence, world-frame point maps + confidence. Output dict keys and
+shapes match the reference's post-squeeze contract:
+
+    pose_enc           (S, 9)
+    depth              (S, H, W, 1)
+    depth_conf         (S, H, W)
+    world_points       (S, H, W, 3)
+    world_points_conf  (S, H, W)
+    images             (S, 3, H, W)   - the (possibly padded) inputs
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vggt_slam_tpu.models.vggt.config import VGGTConfig
+from vggt_slam_tpu.models.vggt.aggregator import Aggregator
+from vggt_slam_tpu.models.vggt.heads import (CameraHead, DPTHead,
+                                             activate_depth, activate_points)
+
+
+class VGGT(nn.Module):
+    cfg: VGGTConfig
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> dict:
+        cfg = self.cfg
+        S, _, H, W = images.shape
+        captured = Aggregator(cfg, name="aggregator")(images)
+        out = {"images": images}
+
+        pose_enc = CameraHead(cfg, name="camera_head")(
+            captured[cfg.agg_depth - 1])
+        out["pose_enc"] = pose_enc
+
+        if cfg.enable_depth_head:
+            raw = DPTHead(cfg, out_channels=2, name="depth_head")(
+                captured, (H, W))
+            depth, depth_conf = activate_depth(raw)
+            out["depth"] = depth
+            out["depth_conf"] = depth_conf
+
+        if cfg.enable_point_head:
+            raw = DPTHead(cfg, out_channels=4, name="point_head")(
+                captured, (H, W))
+            pts, conf = activate_points(raw)
+            out["world_points"] = pts
+            out["world_points_conf"] = conf
+
+        return out
+
+
+def init_params(cfg: VGGTConfig, rng: jax.Array, sample_frames: int = 2,
+                image_hw: Optional[tuple[int, int]] = None):
+    H, W = image_hw if image_hw is not None else (cfg.img_size, cfg.img_size)
+    model = VGGT(cfg)
+    dummy = jnp.zeros((sample_frames, 3, H, W), dtype=jnp.float32)
+    return model.init(rng, dummy)
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,133 @@
+"""Transformer building blocks shared by the VGGT encoder, aggregator and heads.
+
+flax.linen modules with a bf16 compute / f32 parameter policy. LayerNorms run
+in f32 for numerical stability regardless of compute dtype.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vggt_slam_tpu.ops import attention as attn_ops
+
+
+def rope_2d_angles(positions: jax.Array, head_dim: int, base: float):
+    """Rotary angles for 2D (y, x) positions.
+
+    Args:
+        positions: (N, 2) float (y, x) patch coordinates.
+        head_dim: per-head dim; half rotates with y, half with x.
+    Returns:
+        (cos, sin) each (N, head_dim // 2).
+    """
+    d_axis = head_dim // 4  # frequency count per axis (pairs rotate)
+    freq = 1.0 / (base ** (jnp.arange(d_axis, dtype=jnp.float32) / d_axis))
+    ang_y = positions[:, 0:1] * freq[None, :]  # (N, d_axis)
+    ang_x = positions[:, 1:2] * freq[None, :]
+    ang = jnp.concatenate([ang_y, ang_x], axis=-1)  # (N, head_dim//2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply rotary embedding. x: (..., N, D); cos/sin: (N, D//2)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    c = cos.astype(x.dtype)
+    s = sin.astype(x.dtype)
+    return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_value: float
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init_value),
+                           (self.dim,), jnp.float32)
+        return x * gamma.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Standard multi-head self-attention with optional 2D RoPE.
+
+    RoPE (frequency `rope_base`, VGGT-style) is applied to q/k of the patch
+    tokens only; the first `num_special` tokens (camera+register) bypass the
+    rotation, matching the aggregator design described in the VGGT paper.
+    """
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "chunked"
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, rope_cos=None, rope_sin=None, num_special: int = 0,
+                 valid_len: Optional[int] = None):
+        B, N, C = x.shape
+        H = self.num_heads
+        Dh = C // H
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, Dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
+        q = jnp.swapaxes(q, 1, 2)  # (B, H, N, Dh)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+
+        if rope_cos is not None:
+            ns = num_special
+            q_sp, q_p = q[:, :, :ns], q[:, :, ns:]
+            k_sp, k_p = k[:, :, :ns], k[:, :, ns:]
+            q = jnp.concatenate([q_sp, apply_rope(q_p, rope_cos, rope_sin)], axis=2)
+            k = jnp.concatenate([k_sp, apply_rope(k_p, rope_cos, rope_sin)], axis=2)
+
+        interpret = jax.default_backend() != "tpu"
+        out = attn_ops.attention(q, k, v, impl=self.attn_impl,
+                                 valid_len=valid_len, interpret=interpret)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional LayerScale."""
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    layerscale: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "chunked"
+
+    @nn.compact
+    def __call__(self, x, rope_cos=None, rope_sin=None, num_special: int = 0,
+                 valid_len: Optional[int] = None):
+        def ls(name):
+            if self.layerscale is None:
+                return lambda y: y
+            return LayerScale(self.dim, self.layerscale, name=name)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype,
+                      attn_impl=self.attn_impl, name="attn")(
+            h, rope_cos, rope_sin, num_special, valid_len)
+        x = x + ls("ls1")(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
+                name="mlp")(h)
+        x = x + ls("ls2")(h)
+        return x

@@ -1,0 +1,77 @@
+"""Loop-closure retrieval: global descriptors + best-frame matching.
+
+Counterpart of reference vggt_slam/loop_closure.py: per-frame global
+descriptors (SALAD in the reference; here the JAX retrieval model in
+models/retrieval.py, or any callable), L2 matching against every older
+submap's frames with the current and previous submap excluded
+(map.py:38-44), acceptance threshold 0.80, and a bounded queue keeping the
+`max_loops` matches. The queue preserves the reference's ordering quirk
+(loop_closure.py:39-52: results sorted least-similar first).
+"""
+from __future__ import annotations
+
+import heapq
+from typing import NamedTuple
+
+import numpy as np
+
+
+class LoopMatch(NamedTuple):
+    similarity_score: float
+    query_submap_id: int
+    query_submap_frame: int
+    detected_submap_id: int
+    detected_submap_frame: int
+
+
+class LoopMatchQueue:
+    """Bounded max-heap over similarity score (smaller score = more similar;
+    the queue evicts the *most* similar overflow to mirror the reference's
+    negated-heap behavior, and returns matches least-similar first)."""
+
+    def __init__(self, max_size: int):
+        self.max_size = max_size
+        self.heap: list = []
+
+    def add(self, match: LoopMatch) -> None:
+        if self.max_size <= 0:
+            return
+        item = (-match.similarity_score, match)
+        if len(self.heap) < self.max_size:
+            heapq.heappush(self.heap, item)
+        else:
+            heapq.heappushpop(self.heap, item)
+
+    def get_matches(self):
+        return [m for _, m in sorted(self.heap, reverse=True)]
+
+
+class ImageRetrieval:
+    """Descriptor extraction + loop search.
+
+    `descriptor_fn`: callable (S, 3, H, W) float [0,1] -> (S, D) descriptors.
+    Defaults to the JAX SALAD-style retrieval model with random init; pass a
+    converted-weight model for real place recognition.
+    """
+
+    def __init__(self, descriptor_fn=None, input_size: int = 224):
+        self.input_size = input_size
+        if descriptor_fn is None:
+            from vggt_slam_tpu.models.retrieval import default_descriptor_fn
+            descriptor_fn = default_descriptor_fn(input_size=input_size)
+        self.descriptor_fn = descriptor_fn
+
+    def get_all_submap_embeddings(self, submap) -> np.ndarray:
+        frames = np.asarray(submap.get_all_frames(), dtype=np.float32)
+        return np.asarray(self.descriptor_fn(frames))
+
+    def find_loop_closures(self, map, submap, max_similarity_thres: float = 0.80,
+                           max_loop_closures: int = 0):
+        queue = LoopMatchQueue(max_size=max_loop_closures)
+        for query_id, qvec in enumerate(submap.get_all_retrieval_vectors()):
+            score, best_submap, best_frame = map.retrieve_best_score_frame(
+                qvec, submap.get_id(), ignore_last_submap=True)
+            if score < max_similarity_thres:
+                queue.add(LoopMatch(score, submap.get_id(), query_id,
+                                    best_submap, best_frame))
+        return queue.get_matches()

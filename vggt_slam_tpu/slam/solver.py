@@ -1,0 +1,271 @@
+"""SLAM orchestration: perception -> registration -> factor graph, per submap.
+
+Counterpart of the reference `Solver` (vggt_slam/solver.py:139-482) with the
+same two-phase per-submap flow:
+
+  run_predictions(): preprocess -> retrieval descriptors -> loop detection ->
+      append retrieved loop frames to the batch -> VGGT forward -> pose
+      decode (solver.py:414-482)
+  add_points(): depth unprojection, inter-submap registration (Sim(3) scale
+      propagation or SL(4) RANSAC), factor insertion, loop-closure factors
+      (solver.py:226-388)
+
+Differences by design: the model is injected as a callable returning the
+prediction dict (so tests run a deterministic fake VGGT), visualization is an
+optional pluggable viewer instead of a hard viser dependency, and all hot
+math (RANSAC, unprojection, pose readout, graph solve) runs on device.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vggt_slam_tpu.data.images import load_and_preprocess_images
+from vggt_slam_tpu.ops import geometry, lie
+from vggt_slam_tpu.ops.homography import ransac_projective
+from vggt_slam_tpu.slam.graph import PoseGraph
+from vggt_slam_tpu.slam.keyframe import FrameTracker
+from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
+from vggt_slam_tpu.slam.map import GraphMap
+from vggt_slam_tpu.slam.submap import Submap
+
+
+class Solver:
+    def __init__(self,
+                 init_conf_threshold: float = 25.0,
+                 use_point_map: bool = False,
+                 use_sim3: bool = False,
+                 viewer=None,
+                 retrieval: ImageRetrieval | None = None,
+                 vis_stride: int = 1,
+                 vis_point_size: float = 0.001,
+                 seed: int = 0):
+        self.init_conf_threshold = init_conf_threshold
+        self.use_point_map = use_point_map
+        self.use_sim3 = use_sim3
+        self.viewer = viewer
+
+        self.flow_tracker = FrameTracker()
+        self.map = GraphMap()
+        self.graph = PoseGraph("se3" if use_sim3 else "sl4")
+        self.image_retrieval = retrieval if retrieval is not None else ImageRetrieval()
+        self.current_working_submap: Submap | None = None
+        self.first_edge = True
+        self.prior_pcd: np.ndarray | None = None
+        self.prior_conf: np.ndarray | None = None
+        self.vis_stride = vis_stride
+        self.vis_point_size = vis_point_size
+        self._key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------ #
+    # Perception phase
+    # ------------------------------------------------------------------ #
+
+    def run_predictions(self, image_names, model_fn, max_loops: int,
+                        semantic_embeddings=None, names=None) -> dict:
+        """Run retrieval + loop detection + VGGT forward for one submap.
+
+        Args:
+            image_names: list of image paths OR a preloaded (S,3,H,W) float
+                array in [0,1].
+            model_fn: callable images(S',3,H,W) -> prediction dict with keys
+                pose_enc (S',9), depth (S',H,W,1), depth_conf (S',H,W),
+                world_points (S',H,W,3), world_points_conf (S',H,W).
+            max_loops: loop-closure budget for this submap.
+        """
+        if isinstance(image_names, (list, tuple)):
+            images = load_and_preprocess_images(list(image_names))
+            names = list(image_names)
+        else:
+            images = np.asarray(image_names, dtype=np.float32)
+            if names is None:
+                names = [f"{i}.png" for i in range(images.shape[0])]
+
+        new_id = self.map.get_largest_key() + 1
+        new_submap = Submap(new_id)
+        new_submap.add_all_frames(images)
+        new_submap.set_frame_ids(names)
+        new_submap.set_all_retrieval_vectors(
+            self.image_retrieval.get_all_submap_embeddings(new_submap))
+
+        detected_loops = self.image_retrieval.find_loop_closures(
+            self.map, new_submap, max_loop_closures=max_loops)
+        retrieved_frames = self.map.get_frames_from_loops(detected_loops)
+
+        new_submap.set_last_non_loop_frame_index(images.shape[0] - 1)
+        if retrieved_frames:
+            loop_batch = np.stack([np.asarray(f) for f in retrieved_frames])
+            images = np.concatenate([images, loop_batch], axis=0)
+            new_submap.add_all_frames(images)
+
+        if semantic_embeddings is not None:
+            sem = np.asarray(semantic_embeddings, dtype=np.float32)
+            if sem.ndim != 4:
+                raise ValueError(
+                    f"semantic_embeddings must be (S,H,W,d), got {sem.shape}")
+            target_hw = (images.shape[-2], images.shape[-1])
+            if sem.shape[1:3] != target_hw:
+                sem = np.asarray(jax.image.resize(
+                    jnp.asarray(sem),
+                    (sem.shape[0],) + target_hw + (sem.shape[-1],),
+                    method="bilinear"))
+            if images.shape[0] != sem.shape[0]:
+                padded = np.zeros((images.shape[0],) + sem.shape[1:], np.float32)
+                padded[: sem.shape[0]] = sem
+                sem = padded
+            new_submap.add_all_semantic_embeddings(sem)
+
+        self.current_working_submap = new_submap
+
+        predictions = {k: np.asarray(v) for k, v in model_fn(images).items()}
+        extrinsic, intrinsic = geometry.pose_encoding_to_extri_intri(
+            jnp.asarray(predictions["pose_enc"]), images.shape[-2:])
+        predictions["extrinsic"] = np.asarray(extrinsic)
+        predictions["intrinsic"] = np.asarray(intrinsic)
+        predictions["images"] = images
+        predictions["detected_loops"] = detected_loops
+        return predictions
+
+    # ------------------------------------------------------------------ #
+    # Registration phase
+    # ------------------------------------------------------------------ #
+
+    def _ransac(self, X1, X2, weights=None):
+        self._key, sub = jax.random.split(self._key)
+        H, _ = ransac_projective(
+            jnp.asarray(X1, dtype=jnp.float32),
+            jnp.asarray(X2, dtype=jnp.float32),
+            None if weights is None else jnp.asarray(weights, jnp.float32),
+            key=sub)
+        return np.asarray(H, dtype=np.float64)
+
+    def add_points(self, pred_dict: dict) -> None:
+        images = pred_dict["images"]
+        extrinsics_cam = pred_dict["extrinsic"]
+        intrinsics_cam = pred_dict["intrinsic"]
+        detected_loops = pred_dict["detected_loops"]
+
+        wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        if self.use_point_map:
+            world_points = np.asarray(pred_dict["world_points"], np.float64)
+            conf = np.asarray(pred_dict["world_points_conf"])
+        else:
+            world_points = np.asarray(geometry.unproject_depth_map_to_point_map(
+                jnp.asarray(pred_dict["depth"], wide),
+                jnp.asarray(extrinsics_cam, wide),
+                jnp.asarray(intrinsics_cam, wide)))
+            conf = np.asarray(pred_dict["depth_conf"])
+
+        colors = (np.transpose(images, (0, 2, 3, 1)) * 255).astype(np.uint8)
+        cam_to_world = np.array(lie.se3_inverse(
+            jnp.asarray(extrinsics_cam, wide)))
+
+        sub = self.current_working_submap
+        new_id = sub.get_id()
+
+        if self.first_edge:
+            self.first_edge = False
+            self.prior_pcd = world_points[-1].reshape(-1, 3)
+            self.prior_conf = conf[-1].reshape(-1)
+            H_w_submap = np.eye(4)
+            self.graph.add_homography(new_id, H_w_submap)
+            self.graph.add_prior_factor(new_id, H_w_submap, self.graph.anchor_noise)
+        else:
+            prior_id = self.map.get_largest_key()
+            prior_submap = self.map.get_submap(prior_id)
+            current_pts = world_points[0].reshape(-1, 3)
+
+            # Reference solver.py:286 - note the literal bool-multiply:
+            # prior_conf > thr where current conf > thr, else prior_conf > 0.
+            thr = prior_submap.get_conf_threshold()
+            good_mask = self.prior_conf > thr * (
+                conf[0].reshape(-1) > thr).astype(conf.dtype)
+
+            if self.use_sim3:
+                idx = prior_submap.get_last_non_loop_frame_index()
+                T_prior = np.eye(4)
+                T_prior[:3, :3] = prior_submap.poses[idx][0:3, 0:3]
+                T_prior[:3, 3] = prior_submap.poses[idx][0:3, 3]
+                T_inv = np.linalg.inv(T_prior)
+                prior_in_cam = (T_inv[:3, :3] @ self.prior_pcd[good_mask].T).T \
+                    + T_inv[:3, 3]
+                scale_factor = float(np.mean(
+                    np.linalg.norm(prior_in_cam, axis=1) /
+                    (np.linalg.norm(current_pts[good_mask], axis=1) + 1e-12)))
+                H_relative = T_prior.copy()
+                world_points = world_points * scale_factor
+                cam_to_world[:, 0:3, 3] *= scale_factor
+            else:
+                H_relative = self._ransac(current_pts, self.prior_pcd,
+                                          weights=good_mask.astype(np.float32))
+
+            H_w_submap = prior_submap.get_reference_homography() @ H_relative
+
+            non_lc = sub.get_last_non_loop_frame_index()
+            self.prior_pcd = world_points[non_lc].reshape(-1, 3)
+            self.prior_conf = conf[non_lc].reshape(-1)
+
+            self.graph.add_homography(new_id, H_w_submap)
+            self.graph.add_between_factor(prior_id, new_id, H_relative,
+                                          self.graph.relative_noise)
+
+        sub.set_reference_homography(H_w_submap)
+        sub.add_all_poses(cam_to_world)
+        sub.add_all_points(world_points, colors, conf,
+                           self.init_conf_threshold, intrinsics_cam)
+        sub.set_conf_masks(conf)
+
+        for index, loop in enumerate(detected_loops):
+            assert loop.query_submap_id == sub.get_id()
+            loop_index = sub.get_last_non_loop_frame_index() + index + 1
+            if self.use_sim3:
+                pose_det = self.map.get_submap(loop.detected_submap_id) \
+                    .get_pose_subframe(loop.detected_submap_frame)
+                pose_query = sub.get_pose_subframe(loop_index)
+                # GTSAM Pose3.between(a, b) = a^-1 b (reference solver.py:353)
+                H_rel_lc = np.linalg.inv(pose_det) @ pose_query
+            else:
+                pts_det = self.map.get_submap(loop.detected_submap_id) \
+                    .get_frame_pointcloud(loop.detected_submap_frame).reshape(-1, 3)
+                pts_query = sub.get_frame_pointcloud(loop_index).reshape(-1, 3)
+                H_rel_lc = self._ransac(pts_query, pts_det)
+            self.graph.add_between_factor(loop.detected_submap_id,
+                                          loop.query_submap_id, H_rel_lc,
+                                          self.graph.relative_noise)
+            self.graph.increment_loop_closure()
+
+        self.map.add_submap(sub)
+
+    # ------------------------------------------------------------------ #
+    # Visualization pass-throughs (no-ops without a viewer)
+    # ------------------------------------------------------------------ #
+
+    def set_submap_point_cloud(self, submap):
+        if self.viewer is None:
+            return
+        self.viewer.add_point_cloud(
+            submap.get_points_in_world_frame(stride=self.vis_stride),
+            submap.get_points_colors(stride=self.vis_stride),
+            name=str(submap.get_id()), point_size=self.vis_point_size)
+
+    def set_submap_poses(self, submap):
+        if self.viewer is None:
+            return
+        self.viewer.add_frames(submap.get_all_poses_world(),
+                               submap.get_all_frames(), submap.get_id())
+
+    def update_all_submap_vis(self):
+        for submap in self.map.get_submaps():
+            self.set_submap_point_cloud(submap)
+            self.set_submap_poses(submap)
+
+    def update_latest_submap_vis(self):
+        submap = self.map.get_latest_submap()
+        self.set_submap_point_cloud(submap)
+        self.set_submap_poses(submap)
+
+    def export_3d_scene(self, output_path: str = "output.glb"):
+        if self.viewer is None:
+            raise RuntimeError("no viewer attached")
+        return self.viewer.export(output_path)
