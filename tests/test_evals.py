@@ -1,0 +1,115 @@
+import numpy as np
+
+from vggt_slam_tpu.evals.ate import ate, associate, ATEResult
+from vggt_slam_tpu.evals.geometry_eval import (backproject_depth, chamfer,
+                                               icp_point_to_point)
+from vggt_slam_tpu.tools.occupancy import (build_occupancy_from_pointcloud,
+                                           segment_is_navigable)
+
+
+def make_tum(ts, centers):
+    out = np.zeros((len(ts), 8))
+    out[:, 0] = ts
+    out[:, 1:4] = centers
+    out[:, 7] = 1.0  # identity quat (x y z w)
+    return out
+
+
+class TestATE:
+    def test_perfect_alignment_zero_error(self):
+        rng = np.random.default_rng(0)
+        ts = np.arange(20) * 0.1
+        gt_c = rng.normal(size=(20, 3))
+        # estimate is a Sim3-warped version of gt
+        from vggt_slam_tpu.ops import lie
+        import jax.numpy as jnp
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+        est_c = 0.5 * (R @ gt_c.T).T + np.array([1, 2, 3])
+        r = ate(make_tum(ts, gt_c), make_tum(ts, est_c))
+        assert r.rmse < 1e-5
+        assert abs(r.scale - 2.0) < 1e-6  # est->gt scale
+
+    def test_noise_gives_expected_magnitude(self):
+        rng = np.random.default_rng(1)
+        ts = np.arange(50) * 0.1
+        gt_c = np.cumsum(rng.normal(size=(50, 3)), axis=0)
+        est_c = gt_c + rng.normal(scale=0.05, size=gt_c.shape)
+        r = ate(make_tum(ts, gt_c), make_tum(ts, est_c))
+        assert 0.02 < r.rmse < 0.12
+
+    def test_association_tolerance(self):
+        ts_gt = np.arange(10) * 1.0
+        ts_est = ts_gt + 0.5  # all outside 0.02 tolerance
+        ri, ei = associate(ts_gt, ts_est, max_diff=0.02)
+        assert len(ri) == 0
+        ri, ei = associate(ts_gt, ts_est, max_diff=0.6)
+        assert len(ri) > 0
+
+
+class TestChamfer:
+    def test_identical_clouds_zero(self):
+        pts = np.random.default_rng(2).normal(size=(500, 3))
+        m = chamfer(pts, pts)
+        assert m["chamfer"] == 0.0 and m["chamfer_rmse"] == 0.0
+
+    def test_offset_cloud(self):
+        pts = np.random.default_rng(3).uniform(size=(2000, 3)) * 5
+        m = chamfer(pts + [0.01, 0, 0], pts)
+        assert 0 < m["accuracy"] <= 0.011
+
+
+class TestICP:
+    def test_recovers_rigid_transform(self):
+        from vggt_slam_tpu.ops import lie
+        import jax.numpy as jnp
+        rng = np.random.default_rng(4)
+        src = rng.uniform(-1, 1, size=(800, 3))
+        T_gt = np.asarray(lie.se3_exp(jnp.asarray([0.05, -0.03, 0.02,
+                                                   0.04, 0.02, -0.03])))
+        dst = (T_gt[:3, :3] @ src.T).T + T_gt[:3, 3]
+        T = icp_point_to_point(src, dst, max_corr_dist=0.3)
+        np.testing.assert_allclose(T, T_gt, atol=1e-4)
+
+
+class TestBackproject:
+    def test_roundtrip_with_projection(self):
+        K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+        depth = np.full((48, 64), 2.0)
+        c2w = np.eye(4)
+        pts = backproject_depth(depth, K, c2w)
+        assert pts.shape == (48 * 64, 3)
+        np.testing.assert_allclose(pts[:, 2], 2.0)
+
+    def test_drops_invalid(self):
+        K = np.eye(3)
+        depth = np.zeros((4, 4))
+        depth[0, 0] = 1.0
+        depth[1, 1] = 100.0  # beyond max_depth
+        pts = backproject_depth(depth, K, np.eye(4), max_depth=10.0)
+        assert pts.shape[0] == 1
+
+
+class TestOccupancy:
+    def test_blocked_cell_detection(self):
+        # floor points + one tall obstacle column
+        rng = np.random.default_rng(5)
+        floor = np.stack([rng.uniform(0, 1, 500), rng.uniform(0, 1, 500),
+                          rng.uniform(0, 0.05, 500)], axis=1)
+        pillar = np.stack([np.full(50, 0.25), np.full(50, 0.25),
+                           np.linspace(0, 0.9, 50)], axis=1)
+        pts = np.concatenate([floor, pillar])
+        centers, blocked, keys, minz = build_occupancy_from_pointcloud(
+            pts, voxel_size=0.5, ceiling_z=2.5, height_thresh=0.10)
+        blocked_cells = {(int(k[0]), int(k[1])): bool(b)
+                         for k, b in zip(keys, blocked)}
+        assert blocked_cells[(0, 0)] is True       # pillar cell
+        assert blocked_cells[(1, 1)] is False      # pure floor
+
+    def test_segment_navigability(self):
+        blocked = {(0, 0): False, (1, 0): True, (2, 0): False}
+        free_path = segment_is_navigable([0.25, 0.25, 0], [0.25, 0.4, 0],
+                                         0.5, blocked)
+        assert free_path
+        through_wall = segment_is_navigable([0.25, 0.25, 0], [1.25, 0.25, 0],
+                                            0.5, blocked)
+        assert not through_wall

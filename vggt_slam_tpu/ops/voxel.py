@@ -36,49 +36,38 @@ def voxelize_np(points: np.ndarray, feats: np.ndarray, voxel_size: float):
     return centers.astype(np.float32), feat_avg, inverse
 
 
-def _pack_coords(coords: jax.Array) -> jax.Array:
-    """(N,3) int32 voxel coords -> (N,) int64 keys (21 bits/axis, offset)."""
-    c = coords.astype(jnp.int64) + (1 << 20)
-    return (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]
-
-
-def _unpack_key(key: jax.Array) -> jax.Array:
-    x = (key >> 42) & ((1 << 21) - 1)
-    y = (key >> 21) & ((1 << 21) - 1)
-    z = key & ((1 << 21) - 1)
-    return jnp.stack([x, y, z], axis=-1).astype(jnp.int64) - (1 << 20)
-
-
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def voxelize_device(points: jax.Array, feats: jax.Array, mask: jax.Array,
                     voxel_size: float, capacity: int):
     """Masked voxel-mean with static output size.
 
+    int32-only (TPU-friendly, no x64 requirement): points are lexsorted by
+    integer voxel coordinate, runs of equal coordinates become segments, and
+    features are segment-summed.
+
     Args:
         points: (N, 3) world points.
         feats: (N, d) features.
         mask: (N,) validity (invalid points are dropped).
-        capacity: max voxels kept (first `capacity` in sorted key order).
+        capacity: max voxels kept (first `capacity` in sorted coord order).
     Returns:
         centers (capacity, 3), feat_mean (capacity, d), counts (capacity,),
         num_voxels () - entries beyond num_voxels are zero.
     """
     coords = jnp.floor(points / voxel_size).astype(jnp.int32)
-    keys = _pack_coords(coords)
-    # Invalid points get the sentinel max key so they sort to the end.
-    sentinel = jnp.int64((1 << 62))
-    keys = jnp.where(mask.astype(bool), keys, sentinel)
+    # Invalid points get a sentinel coordinate sorting after everything.
+    sentinel = jnp.int32(1 << 24)
+    coords = jnp.where(mask.astype(bool)[:, None], coords, sentinel)
 
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords_s = coords[order]
     feats_s = feats[order]
-    valid_s = (keys_s != sentinel)
+    valid_s = coords_s[:, 0] != sentinel
 
-    # Segment ids: increment where the key changes.
+    changed = jnp.any(coords_s[1:] != coords_s[:-1], axis=1)
     new_seg = jnp.concatenate([jnp.ones((1,), jnp.int32),
-                               (keys_s[1:] != keys_s[:-1]).astype(jnp.int32)])
+                               changed.astype(jnp.int32)])
     seg_id = jnp.cumsum(new_seg) - 1  # (N,), 0-based
-    num_voxels_total = seg_id[-1] + 1
     # Voxels past capacity are dropped (callers pick capacity >= expected V).
     in_cap = (seg_id < capacity) & valid_s
     seg_id_c = jnp.where(in_cap, seg_id, capacity)  # overflow bucket
@@ -87,17 +76,14 @@ def voxelize_device(points: jax.Array, feats: jax.Array, mask: jax.Array,
     feat_sum = jax.ops.segment_sum(feats_s * w[:, None], seg_id_c,
                                    num_segments=capacity + 1)[:capacity]
     counts = jax.ops.segment_sum(w, seg_id_c, num_segments=capacity + 1)[:capacity]
-    key_per_seg = jax.ops.segment_max(jnp.where(in_cap, keys_s, jnp.int64(-1)),
-                                      seg_id_c, num_segments=capacity + 1)[:capacity]
+    coord_per_seg = jax.ops.segment_max(
+        jnp.where(in_cap[:, None], coords_s, -sentinel), seg_id_c,
+        num_segments=capacity + 1)[:capacity]
 
     feat_mean = feat_sum / jnp.maximum(counts, 1.0)[:, None]
     occupied = counts > 0
-    centers = (_unpack_key(jnp.maximum(key_per_seg, 0)).astype(jnp.float32) + 0.5
-               ) * voxel_size
-    centers = centers * occupied[:, None]
+    centers = (coord_per_seg.astype(jnp.float32) + 0.5) * voxel_size
+    centers = jnp.where(occupied[:, None], centers, 0.0)
     feat_mean = feat_mean * occupied[:, None]
-    # Count occupied segments directly (robust to the all-masked case, where
-    # the sentinel segment would otherwise be counted).
-    del num_voxels_total
     num = jnp.sum(occupied.astype(jnp.int32))
     return centers, feat_mean, counts, num

@@ -1,0 +1,85 @@
+"""Device mesh + sharding rules for multi-chip VGGT.
+
+The reference is single-GPU (SURVEY.md section 2.4: no distributed backend),
+so multi-chip here is a TPU-native addition, not a port: a ("dp", "tp") mesh
+where
+  * dp shards the frame axis S - frame attention, the encoder, and the DPT
+    heads are embarrassingly parallel over frames; XLA inserts the
+    all-gather at the global-attention block where frames must mix;
+  * tp shards attention heads / MLP hidden dims of every transformer block
+    (Megatron-style: column-parallel qkv/fc1, row-parallel proj/fc2), with
+    psum on the row-parallel outputs inserted by XLA from the shardings.
+
+Collectives ride ICI inside a pod slice; nothing here touches DCN.
+"""
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, tp: int | None = None) -> Mesh:
+    """Create a ("dp", "tp") mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = 2 if n % 2 == 0 and n >= 2 else 1
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    dp = n // tp
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# Partition rules by parameter path suffix (flax param tree paths).
+# Column-parallel: shard output features; row-parallel: shard input features.
+_RULES: list[tuple[str, P]] = [
+    (r"attn/qkv/kernel$", P(None, "tp")),
+    (r"attn/qkv/bias$", P("tp")),
+    (r"attn/proj/kernel$", P("tp", None)),
+    (r"mlp/fc1/kernel$", P(None, "tp")),
+    (r"mlp/fc1/bias$", P("tp")),
+    (r"mlp/fc2/kernel$", P("tp", None)),
+]
+
+
+def param_spec(path: str, leaf) -> P:
+    for pat, spec in _RULES:
+        if re.search(pat, path):
+            # Guard: tiny dims may not divide the tp axis; replicate then.
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def make_param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a flax param dict under the TP rules.
+
+    Falls back to replication for any tensor whose sharded dim doesn't
+    divide the tp axis size (keeps tiny test configs valid on any mesh).
+    """
+    tp = mesh.shape["tp"]
+
+    def one(path, leaf):
+        spec = param_spec(_path_str(path), leaf)
+        for dim, name in enumerate(spec):
+            if name == "tp" and leaf.shape[dim] % tp != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def frame_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a (S, ...) frame-major tensor over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,191 @@
+"""Offline dense semantic embedding pipeline (SAM2+CLIP-style).
+
+Counterpart of reference vggt_slam/semantic_embedder.py: turn each image
+into a dense (H, W, d) semantic-feature map saved as `{stem}.npz` with key
+"embedding" at VGGT resolution - the exact disk interface the SLAM driver
+consumes (reference main.py:99-111, solver.py:449-465).
+
+The reference pipeline is: SAM2 automatic masks -> black-background bbox
+crops -> CLIP image embedding per crop -> paint the mask regions (later
+masks overwrite). SAM2 checkpoints aren't shipped here, so the pipeline is
+built around two injectable callables:
+
+  mask_generator(image_rgb) -> list[dict(segmentation=(H,W) bool, area=int)]
+  crop_encoder(crops (N, 3, h, w) float [0,1]) -> (N, d) embeddings
+
+with HF `transformers` CLIP/SigLIP wiring when a local checkpoint directory
+is available, and a deterministic grid-mask + color-hash fallback so the
+full voxelization/query path runs end-to-end in any environment.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def grid_mask_generator(image_rgb: np.ndarray, grid: int = 8):
+    """Fallback mask proposer: a regular grid of square segments."""
+    H, W = image_rgb.shape[:2]
+    masks = []
+    hs, ws = H // grid, W // grid
+    for i in range(grid):
+        for j in range(grid):
+            seg = np.zeros((H, W), dtype=bool)
+            seg[i * hs:(i + 1) * hs or H, j * ws:(j + 1) * ws or W] = True
+            masks.append({"segmentation": seg, "area": int(seg.sum())})
+    return masks
+
+
+def color_hash_encoder(crops: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Fallback crop encoder: random-projected color statistics (L2-normed)."""
+    n = crops.shape[0]
+    stats = []
+    for c in crops:
+        mean = c.mean(axis=(1, 2))
+        std = c.std(axis=(1, 2))
+        hist = np.histogram(c, bins=10, range=(0, 1))[0] / c.size
+        stats.append(np.concatenate([mean, std, hist]))
+    stats = np.asarray(stats, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    proj = rng.normal(size=(stats.shape[1], dim)).astype(np.float32)
+    emb = stats @ proj
+    return emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8)
+
+
+def make_hf_clip_encoder(model_dir: str):
+    """CLIP/SigLIP crop + text encoders from a local transformers checkpoint."""
+    import torch
+    from transformers import AutoModel, AutoProcessor
+
+    model = AutoModel.from_pretrained(model_dir)
+    processor = AutoProcessor.from_pretrained(model_dir)
+    model.eval()
+
+    @torch.no_grad()
+    def encode_crops(crops: np.ndarray) -> np.ndarray:
+        imgs = [np.transpose(c, (1, 2, 0)) for c in crops]
+        inputs = processor(images=[np.uint8(i * 255) for i in imgs],
+                           return_tensors="pt")
+        feats = model.get_image_features(**inputs)
+        feats = feats / feats.norm(dim=-1, keepdim=True)
+        return feats.numpy()
+
+    @torch.no_grad()
+    def encode_text(texts: list[str]) -> np.ndarray:
+        inputs = processor(text=texts, return_tensors="pt", padding=True)
+        feats = model.get_text_features(**inputs)
+        feats = feats / feats.norm(dim=-1, keepdim=True)
+        return feats.numpy()
+
+    return encode_crops, encode_text
+
+
+class SemanticEmbedder:
+    """Dense per-pixel semantic embedding painter."""
+
+    def __init__(self,
+                 mask_generator: Optional[Callable] = None,
+                 crop_encoder: Optional[Callable] = None,
+                 target_hw: tuple[int, int] = (518, 518),
+                 crop_size: int = 224):
+        self.mask_generator = mask_generator or grid_mask_generator
+        self.crop_encoder = crop_encoder or color_hash_encoder
+        self.target_hw = target_hw
+        self.crop_size = crop_size
+
+    def _crop(self, image: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        """Black-background bbox crop (reference semantic_embedder.py:130-156)."""
+        import cv2
+
+        ys, xs = np.where(seg)
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        patch = image[y0:y1, x0:x1].copy()
+        patch[~seg[y0:y1, x0:x1]] = 0
+        patch = cv2.resize(patch, (self.crop_size, self.crop_size),
+                           interpolation=cv2.INTER_LINEAR)
+        return np.transpose(patch.astype(np.float32), (2, 0, 1))
+
+    def embed_image(self, image_rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) float [0,1] RGB -> (target_h, target_w, d) embedding map.
+
+        Masks are painted largest-first so later (smaller, more specific)
+        masks overwrite - matching semantic_embedder.py:324-349.
+        """
+        import cv2
+
+        th, tw = self.target_hw
+        img = cv2.resize(image_rgb, (tw, th), interpolation=cv2.INTER_LINEAR)
+        masks = self.mask_generator(img)
+        if not masks:
+            return np.zeros((th, tw, 1), dtype=np.float32)
+        masks = sorted(masks, key=lambda m: -m["area"])
+        crops = np.stack([self._crop(img, m["segmentation"]) for m in masks])
+        embs = np.asarray(self.crop_encoder(crops), dtype=np.float32)
+        d = embs.shape[-1]
+        out = np.zeros((th, tw, d), dtype=np.float32)
+        for m, e in zip(masks, embs):
+            out[m["segmentation"]] = e
+        return out
+
+    def embed_folder_to_npz(self, image_dir: str, out_dir: str,
+                            limit: int | None = None,
+                            shard_index: int = 0, num_shards: int = 1) -> int:
+        """Embed every image in a folder to {out_dir}/{stem}.npz.
+
+        Sharding args mirror the reference's round-robin multi-process
+        parallelism (semantic_embedder.py:480-566) - shard i of n processes
+        the images with index % n == i (shared-nothing, results to disk).
+        """
+        from vggt_slam_tpu.data.images import list_image_folder, load_image
+
+        os.makedirs(out_dir, exist_ok=True)
+        names = list_image_folder(image_dir)
+        if limit:
+            names = names[:limit]
+        done = 0
+        for i, path in enumerate(names):
+            if i % num_shards != shard_index:
+                continue
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out_path = os.path.join(out_dir, f"{stem}.npz")
+            if os.path.exists(out_path):
+                continue
+            img = load_image(path).astype(np.float32) / 255.0
+            emb = self.embed_image(img)
+            np.savez_compressed(out_path, embedding=emb)
+            done += 1
+        return done
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description="Offline dense semantic embedder")
+    p.add_argument("--image_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--clip_model_dir", default=None,
+                   help="local transformers CLIP/SigLIP checkpoint; "
+                        "fallback color-hash encoder if omitted")
+    p.add_argument("--target_size", type=int, default=518)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--shard_index", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    args = p.parse_args()
+
+    crop_encoder = None
+    if args.clip_model_dir:
+        crop_encoder, _ = make_hf_clip_encoder(args.clip_model_dir)
+    emb = SemanticEmbedder(crop_encoder=crop_encoder,
+                           target_hw=(args.target_size, args.target_size))
+    n = emb.embed_folder_to_npz(args.image_dir, args.out_dir,
+                                limit=args.limit,
+                                shard_index=args.shard_index,
+                                num_shards=args.num_shards)
+    print(f"embedded {n} images -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
