@@ -97,3 +97,37 @@ class TestFullSizeShapes:
         n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
         # VGGT-1B is ~1.2-1.3B params; ours must land in that class.
         assert 0.9e9 < n < 1.6e9, f"param count {n/1e9:.2f}B out of range"
+
+
+class TestBucketing:
+    def test_padded_forward_matches_unpadded(self, tiny_setup):
+        # The key bucketing invariant: padding frames + valid_frames masking
+        # must leave the valid frames' outputs unchanged.
+        cfg, params = tiny_setup
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.uniform(size=(2, 3, 56, 70)), dtype=jnp.float32)
+        out_ref = VGGT(cfg).apply(params, imgs)
+        padded = jnp.concatenate(
+            [imgs, jnp.asarray(rng.uniform(size=(2, 3, 56, 70)),
+                               dtype=jnp.float32)], axis=0)
+        out_pad = VGGT(cfg).apply(params, padded, valid_frames=2)
+        for k in ("pose_enc", "depth", "world_points", "depth_conf"):
+            np.testing.assert_allclose(
+                np.asarray(out_pad[k][:2]), np.asarray(out_ref[k]),
+                atol=1e-5, err_msg=k)
+
+    def test_bucketed_model_fn(self, tiny_setup):
+        from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
+        cfg, params = tiny_setup
+        fn = make_bucketed_model_fn(VGGT(cfg), params, bucket_size=4)
+        rng = np.random.default_rng(4)
+        for S in (2, 3, 4):
+            out = fn(rng.uniform(size=(S, 3, 56, 70)).astype(np.float32))
+            assert out["pose_enc"].shape == (S, 9)
+            assert out["depth"].shape == (S, 56, 70, 1)
+        # smaller-S outputs equal a direct forward
+        imgs = rng.uniform(size=(3, 3, 56, 70)).astype(np.float32)
+        direct = VGGT(cfg).apply(params, jnp.asarray(imgs))
+        via_fn = fn(imgs)
+        np.testing.assert_allclose(via_fn["pose_enc"],
+                                   np.asarray(direct["pose_enc"]), atol=1e-5)

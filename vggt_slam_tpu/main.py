@@ -83,13 +83,12 @@ def build_model_fn(args):
     jax.block_until_ready(params)
     print(f"model ready in {time.time() - t0:.1f}s")
 
-    fwd = jax.jit(model.apply)
-
-    def model_fn(images):
-        out = fwd(params, jnp.asarray(np.asarray(images), dtype=jnp.float32))
-        return {k: np.asarray(v) for k, v in out.items() if k != "images"}
-
-    return model_fn
+    # Static submap bucket: submap_size + overlap + loop budget, so every
+    # per-submap forward (including the last partial one) reuses one
+    # compiled program.
+    from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
+    bucket = args.submap_size + args.overlapping_window_size + args.max_loops
+    return make_bucketed_model_fn(model, params, bucket)
 
 
 def main():
@@ -108,10 +107,14 @@ def main():
         except ImportError:
             print("viser not installed; continuing headless")
 
+    from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
+    retrieval = ImageRetrieval(
+        batch_bucket=args.submap_size + args.overlapping_window_size)
     solver = Solver(init_conf_threshold=args.conf_threshold,
                     use_point_map=args.use_point_map,
                     use_sim3=args.use_sim3,
                     viewer=viewer,
+                    retrieval=retrieval,
                     vis_stride=args.vis_stride,
                     vis_point_size=args.vis_point_size)
     model_fn = build_model_fn(args)

@@ -29,8 +29,16 @@ class Aggregator(nn.Module):
     cfg: VGGTConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> Dict[int, jax.Array]:
+    def __call__(self, images: jax.Array,
+                 valid_frames=None) -> Dict[int, jax.Array]:
         """images: (S, 3, H, W) in [0,1].
+
+        `valid_frames` (python int or traced int32 scalar) enables submap
+        bucketing: frames at index >= valid_frames are padding - they are
+        excluded from every global attention softmax (suffix key masking),
+        so their garbage content cannot contaminate real frames, and the jit
+        program compiles once per bucket size regardless of the actual frame
+        count (traced form).
 
         Returns dict depth_index -> (S, ns + P, 2*agg_dim) token maps for the
         captured depths (cfg.dpt_layers; always includes the final depth),
@@ -41,6 +49,8 @@ class Aggregator(nn.Module):
         h, w = cfg.patch_grid(H, W)
         P = h * w
         ns = cfg.tokens_per_frame_special
+        N = ns + P
+        global_valid = None if valid_frames is None else valid_frames * N
 
         x = DinoViT(cfg, name="patch_embed")(images)  # (S, P, enc_dim)
         if cfg.enc_dim != cfg.agg_dim:
@@ -56,18 +66,20 @@ class Aggregator(nn.Module):
                                jnp.ones((S - 1,), jnp.int32)]) if S > 1 else \
             jnp.zeros((1,), jnp.int32)
         special = jnp.concatenate([cam_tok, reg_tok], axis=1)[sel]  # (S, ns, C)
-        x = jnp.concatenate([special.astype(x.dtype), x], axis=1)  # (S, ns+P, C)
-        N = ns + P
+        x = jnp.concatenate([special.astype(x.dtype), x], axis=1)  # (S, N, C)
 
-        # 2D RoPE angles for the patch grid (shared by every frame).
+        # Full-length 2D RoPE tables: identity rotation on special tokens,
+        # per-patch (y, x) angles on the grid; frame-major tiling for the
+        # global sequence.
         yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                               jnp.arange(w, dtype=jnp.float32), indexing="ij")
         positions = jnp.stack([yy.ravel(), xx.ravel()], axis=-1)  # (P, 2)
         head_dim = cfg.agg_dim // cfg.agg_heads
-        cos, sin = rope_2d_angles(positions, head_dim, cfg.rope_base)
-        # Global attention sees S repeats of the per-frame patch positions.
-        cos_g = jnp.concatenate([jnp.tile(cos, (S, 1))], axis=0)
-        sin_g = jnp.concatenate([jnp.tile(sin, (S, 1))], axis=0)
+        cos_p, sin_p = rope_2d_angles(positions, head_dim, cfg.rope_base)
+        cos = jnp.concatenate([jnp.ones((ns, head_dim // 2)), cos_p], axis=0)
+        sin = jnp.concatenate([jnp.zeros((ns, head_dim // 2)), sin_p], axis=0)
+        cos_g = jnp.tile(cos, (S, 1))
+        sin_g = jnp.tile(sin, (S, 1))
 
         captured: Dict[int, jax.Array] = {}
         capture_set = set(cfg.dpt_layers) | {cfg.agg_depth - 1}
@@ -75,23 +87,15 @@ class Aggregator(nn.Module):
             x = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
                       layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
                       attn_impl=cfg.attn_impl, name=f"frame_block_{d}")(
-                x, cos, sin, num_special=ns)
+                x, cos, sin)
             frame_out = x
 
             xg = x.reshape(1, S * N, cfg.agg_dim)
-            # Special tokens sit at the head of each frame chunk, interleaved
-            # in the flat sequence; RoPE must skip them. Reorder to
-            # [all specials, all patches] for the rope-aware block, then back.
-            xg = jnp.concatenate(
-                [x[:, :ns].reshape(1, S * ns, cfg.agg_dim),
-                 x[:, ns:].reshape(1, S * P, cfg.agg_dim)], axis=1)
             xg = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
                        layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
                        attn_impl=cfg.attn_impl, name=f"global_block_{d}")(
-                xg, cos_g, sin_g, num_special=S * ns)
-            x = jnp.concatenate(
-                [xg[0, :S * ns].reshape(S, ns, cfg.agg_dim),
-                 xg[0, S * ns:].reshape(S, P, cfg.agg_dim)], axis=1)
+                xg, cos_g, sin_g, valid_len=global_valid)
+            x = xg.reshape(S, N, cfg.agg_dim)
 
             if d in capture_set:
                 captured[d] = jnp.concatenate([frame_out, x], axis=-1)

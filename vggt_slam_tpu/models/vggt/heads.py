@@ -27,10 +27,13 @@ class CameraHead(nn.Module):
     cfg: VGGTConfig
 
     @nn.compact
-    def __call__(self, tokens_last: jax.Array) -> jax.Array:
+    def __call__(self, tokens_last: jax.Array,
+                 valid_frames=None) -> jax.Array:
         """tokens_last: (S, N, 2*agg_dim) final aggregator output.
 
-        Returns pose encodings (S, 9) for every frame.
+        Returns pose encodings (S, 9) for every frame. The trunk attends
+        across frames, so `valid_frames` masks padded-frame keys the same
+        way the aggregator's global attention does.
         """
         cfg = self.cfg
         dim = 2 * cfg.agg_dim
@@ -51,6 +54,7 @@ class CameraHead(nn.Module):
         out_norm = nn.LayerNorm(dtype=jnp.float32, name="out_norm")
         head = Mlp(dim // 2, 9, dtype=cfg.dtype, name="pose_branch")
 
+        vl = valid_frames
         for _ in range(cfg.cam_iterations):
             m = mod(nn.silu(embed(jax.lax.stop_gradient(pred).astype(cfg.dtype))))
             shift, scale, gate = jnp.split(m, 3, axis=-1)
@@ -58,7 +62,7 @@ class CameraHead(nn.Module):
                              name=None)(cam).astype(cfg.dtype)
             h = h * (1 + scale) + shift
             for blk in trunk:
-                h = blk(h)
+                h = blk(h, valid_len=vl)
             h = out_norm(h).astype(cfg.dtype)
             delta = head(h * (1 + gate))
             pred = pred + delta.astype(jnp.float32)

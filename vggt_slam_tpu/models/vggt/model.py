@@ -30,14 +30,14 @@ class VGGT(nn.Module):
     cfg: VGGTConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> dict:
+    def __call__(self, images: jax.Array, valid_frames=None) -> dict:
         cfg = self.cfg
         S, _, H, W = images.shape
-        captured = Aggregator(cfg, name="aggregator")(images)
+        captured = Aggregator(cfg, name="aggregator")(images, valid_frames)
         out = {"images": images}
 
         pose_enc = CameraHead(cfg, name="camera_head")(
-            captured[cfg.agg_depth - 1])
+            captured[cfg.agg_depth - 1], valid_frames)
         out["pose_enc"] = pose_enc
 
         if cfg.enable_depth_head:
@@ -63,6 +63,36 @@ def init_params(cfg: VGGTConfig, rng: jax.Array, sample_frames: int = 2,
     model = VGGT(cfg)
     dummy = jnp.zeros((sample_frames, 3, H, W), dtype=jnp.float32)
     return model.init(rng, dummy)
+
+
+def make_bucketed_model_fn(model: VGGT, params, bucket_size: int):
+    """Prediction callable with static-shape submap bucketing.
+
+    Pads any (S, 3, H, W) batch with S <= bucket_size up to exactly
+    bucket_size frames and passes `valid_frames=S`, so the jit program
+    compiles ONCE per (bucket, resolution) instead of once per distinct
+    frame count (variable keyframe counts, last-partial submaps, and
+    0..max_loops appended loop frames all hit the same program). Outputs
+    are sliced back to the true S.
+    """
+    import numpy as np
+
+    fwd = jax.jit(model.apply)
+
+    def model_fn(images):
+        images = np.asarray(images, dtype=np.float32)
+        S = images.shape[0]
+        if S > bucket_size:
+            out = fwd(params, jnp.asarray(images))  # rare overflow: own compile
+        else:
+            pad = np.zeros((bucket_size - S,) + images.shape[1:], np.float32)
+            padded = jnp.asarray(np.concatenate([images, pad], axis=0))
+            # valid_frames is TRACED: every S <= bucket_size reuses one
+            # compiled program.
+            out = fwd(params, padded, jnp.int32(S))
+        return {k: np.asarray(v[:S]) for k, v in out.items() if k != "images"}
+
+    return model_fn
 
 
 def param_count(params) -> int:

@@ -66,9 +66,10 @@ class LayerScale(nn.Module):
 class Attention(nn.Module):
     """Standard multi-head self-attention with optional 2D RoPE.
 
-    RoPE (frequency `rope_base`, VGGT-style) is applied to q/k of the patch
-    tokens only; the first `num_special` tokens (camera+register) bypass the
-    rotation, matching the aggregator design described in the VGGT paper.
+    `rope_cos`/`rope_sin` are FULL-LENGTH (N, head_dim//2) angle tables:
+    special tokens (camera/register) carry identity rotations (cos=1, sin=0),
+    so token order stays frame-major and suffix padding masks with a single
+    `valid_len` in the flash kernel.
     """
     dim: int
     num_heads: int
@@ -77,7 +78,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, rope_cos=None, rope_sin=None, num_special: int = 0,
+    def __call__(self, x, rope_cos=None, rope_sin=None,
                  valid_len: Optional[int] = None):
         B, N, C = x.shape
         H = self.num_heads
@@ -91,11 +92,8 @@ class Attention(nn.Module):
         v = jnp.swapaxes(v, 1, 2)
 
         if rope_cos is not None:
-            ns = num_special
-            q_sp, q_p = q[:, :, :ns], q[:, :, ns:]
-            k_sp, k_p = k[:, :, :ns], k[:, :, ns:]
-            q = jnp.concatenate([q_sp, apply_rope(q_p, rope_cos, rope_sin)], axis=2)
-            k = jnp.concatenate([k_sp, apply_rope(k_p, rope_cos, rope_sin)], axis=2)
+            q = apply_rope(q, rope_cos, rope_sin)
+            k = apply_rope(k, rope_cos, rope_sin)
 
         interpret = jax.default_backend() != "tpu"
         out = attn_ops.attention(q, k, v, impl=self.attn_impl,
@@ -114,7 +112,7 @@ class Block(nn.Module):
     attn_impl: str = "chunked"
 
     @nn.compact
-    def __call__(self, x, rope_cos=None, rope_sin=None, num_special: int = 0,
+    def __call__(self, x, rope_cos=None, rope_sin=None,
                  valid_len: Optional[int] = None):
         def ls(name):
             if self.layerscale is None:
@@ -124,7 +122,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         h = Attention(self.dim, self.num_heads, dtype=self.dtype,
                       attn_impl=self.attn_impl, name="attn")(
-            h, rope_cos, rope_sin, num_special, valid_len)
+            h, rope_cos, rope_sin, valid_len)
         x = x + ls("ls1")(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,

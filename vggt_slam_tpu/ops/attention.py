@@ -11,9 +11,11 @@ operands on the MXU). Three interchangeable implementations:
              differentiable; used for training and as the CPU fallback.
 * "naive":   materializes logits; reference implementation for tests.
 
-All take (B, H, N, D) tensors; `valid_len` (static) masks padded keys so
-bucketed submap shapes (16+1+loops padded to a fixed slot count) don't
-pollute the softmax.
+All take (B, H, N, D) tensors. `valid_len` masks padded keys so bucketed
+submap shapes (16+1+loops padded to a fixed slot count) don't pollute the
+softmax; it may be a python int OR a traced int32 scalar - the traced form
+keeps ONE compiled program per bucket size regardless of the live frame
+count (the flash kernel reads it from SMEM).
 """
 from __future__ import annotations
 
@@ -28,12 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _key_mask(valid_len, nk):
+    return jax.lax.broadcasted_iota(jnp.int32, (nk,), 0) < valid_len
+
+
 def naive_attention(q, k, v, valid_len=None):
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, v.dtype.type(scale) * k,
                         preferred_element_type=jnp.float32)
-    if valid_len is not None and valid_len < k.shape[2]:
-        mask = jnp.arange(k.shape[2]) < valid_len
+    if valid_len is not None:
+        mask = _key_mask(valid_len, k.shape[2])
         logits = jnp.where(mask[None, None, None, :], logits, _NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
@@ -48,9 +54,7 @@ def chunked_attention(q, k, v, valid_len=None, chunk=1024):
     nq = qp.shape[2] // chunk
     qp = qp.reshape(B, H, nq, chunk, D)
 
-    kmask = None
-    if valid_len is not None and valid_len < k.shape[2]:
-        kmask = jnp.arange(k.shape[2]) < valid_len
+    kmask = None if valid_len is None else _key_mask(valid_len, k.shape[2])
 
     def one_chunk(q_c):
         logits = jnp.einsum("bhqd,bhkd->bhqk", q_c, k,
@@ -70,8 +74,8 @@ def chunked_attention(q, k, v, valid_len=None, chunk=1024):
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-                  *, scale, block_k, num_k_blocks, valid_len, nk_total):
+def _flash_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                  *, scale, block_k, num_k_blocks, masked):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -86,9 +90,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    if valid_len < nk_total:
+    if masked:
         col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < valid_len, s, _NEG_INF)
+        s = jnp.where(col < vl_ref[0], s, _NEG_INF)
 
     m_prev = m_ref[:, :1]                        # (block_q, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)   # (block_q, 1)
@@ -107,26 +111,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("valid_len", "block_q", "block_k", "interpret"),
+    jax.jit, static_argnames=("block_q", "block_k", "interpret"),
 )
-def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=1024,
-                    interpret=False):
-    """Pallas flash attention forward. q,k,v: (B, H, N, D) -> (B, H, N, D)."""
+def _flash_call(q, k, v, valid_len, block_q, block_k, interpret):
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
-    if valid_len is None:
-        valid_len = Nk
     scale = 1.0 / math.sqrt(D)
 
-    # Large blocks win on long sequences (global attention); short per-frame
-    # sequences (~1k tokens) would waste half the pad at 1024, so shrink.
-    if Nq < 4 * block_q:
-        block_q = max(128, min(block_q, 256))
-    if Nk < 4 * block_k:
-        block_k = max(128, min(block_k, 512))
-    block_q = min(block_q, max(128, 1 << (Nq - 1).bit_length()))
-    block_k = min(block_k, max(128, 1 << (Nk - 1).bit_length()))
     pad_q = (-Nq) % block_q
     pad_k = (-Nk) % block_k
     qf = q.reshape(B * H, Nq, D)
@@ -137,18 +128,24 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=1024,
     if pad_k:
         kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
-        valid_len = min(valid_len, Nk)
     nq_blocks = qf.shape[1] // block_q
     nk_blocks = kf.shape[1] // block_k
 
+    masked = (valid_len is not None) or bool(pad_k)
+    if valid_len is None:
+        vl = jnp.full((1,), Nk, dtype=jnp.int32)
+    else:
+        vl = jnp.minimum(jnp.asarray(valid_len, jnp.int32), Nk).reshape(1)
+
     kernel = functools.partial(
         _flash_kernel, scale=scale, block_k=block_k,
-        num_k_blocks=nk_blocks, valid_len=valid_len, nk_total=kf.shape[1])
+        num_k_blocks=nk_blocks, masked=masked)
 
     out = pl.pallas_call(
         kernel,
         grid=(B * H, nq_blocks, nk_blocks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
@@ -161,12 +158,31 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=1024,
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf)
-    out = out[:, :Nq].reshape(B, H, Nq, D)
-    return out
+    )(vl, qf, kf, vf)
+    return out[:, :Nq].reshape(B, H, Nq, D)
 
 
-def attention(q, k, v, impl: str = "chunked", valid_len: int | None = None,
+def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=1024,
+                    interpret=False):
+    """Pallas flash attention forward. q,k,v: (B, H, N, D) -> (B, H, N, D).
+
+    `valid_len` may be a traced scalar (read from SMEM in-kernel), so one
+    compilation serves every actual frame count within a bucket.
+    """
+    Nq = q.shape[2]
+    Nk = k.shape[2]
+    # Large blocks win on long sequences (global attention); short per-frame
+    # sequences (~1k tokens) would waste half the pad at 1024, so shrink.
+    if Nq < 4 * block_q:
+        block_q = max(128, min(block_q, 256))
+    if Nk < 4 * block_k:
+        block_k = max(128, min(block_k, 512))
+    block_q = min(block_q, max(128, 1 << (Nq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (Nk - 1).bit_length()))
+    return _flash_call(q, k, v, valid_len, block_q, block_k, interpret)
+
+
+def attention(q, k, v, impl: str = "chunked", valid_len=None,
               interpret: bool = False):
     """Dispatch by implementation name. See module docstring."""
     if impl == "naive":

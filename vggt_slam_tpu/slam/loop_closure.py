@@ -54,8 +54,10 @@ class ImageRetrieval:
     converted-weight model for real place recognition.
     """
 
-    def __init__(self, descriptor_fn=None, input_size: int = 224):
+    def __init__(self, descriptor_fn=None, input_size: int = 224,
+                 batch_bucket: int | None = None):
         self.input_size = input_size
+        self.batch_bucket = batch_bucket
         if descriptor_fn is None:
             from vggt_slam_tpu.models.retrieval import default_descriptor_fn
             descriptor_fn = default_descriptor_fn(input_size=input_size)
@@ -63,7 +65,14 @@ class ImageRetrieval:
 
     def get_all_submap_embeddings(self, submap) -> np.ndarray:
         frames = np.asarray(submap.get_all_frames(), dtype=np.float32)
-        return np.asarray(self.descriptor_fn(frames))
+        S = frames.shape[0]
+        if self.batch_bucket is not None and S < self.batch_bucket:
+            # Pad to the bucket so the descriptor network compiles once;
+            # frames are encoded independently, so padding can't leak.
+            pad = np.zeros((self.batch_bucket - S,) + frames.shape[1:],
+                           np.float32)
+            frames = np.concatenate([frames, pad], axis=0)
+        return np.asarray(self.descriptor_fn(frames))[:S]
 
     def find_loop_closures(self, map, submap, max_similarity_thres: float = 0.80,
                            max_loop_closures: int = 0):
