@@ -84,9 +84,11 @@ def _flash_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)            # (block_q, D)
-    k = k_ref[0].astype(jnp.float32)            # (block_k, D)
-    v = v_ref[0].astype(jnp.float32)            # (block_k, D)
+    # Keep matmul operands in bf16: the MXU runs bf16 x bf16 -> f32 at full
+    # rate, while f32 operands drop it ~8x. Softmax statistics stay f32.
+    q = q_ref[0]                                 # (block_q, D) bf16
+    k = k_ref[0]                                 # (block_k, D) bf16
+    v = v_ref[0]                                 # (block_k, D) bf16
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -97,11 +99,12 @@ def _flash_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     m_prev = m_ref[:, :1]                        # (block_q, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)   # (block_q, 1)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                       # (block_q, block_k)
+    p = jnp.exp(s - m_new)                       # (block_q, block_k) f32
     corr = jnp.exp(m_prev - m_new)               # (block_q, 1)
     l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
