@@ -131,3 +131,40 @@ class TestBucketing:
         via_fn = fn(imgs)
         np.testing.assert_allclose(via_fn["pose_enc"],
                                    np.asarray(direct["pose_enc"]), atol=1e-5)
+
+
+class TestGlobalKVMerging:
+    def test_merged_forward_runs_and_is_close(self):
+        # stride-2 K/V merging keeps the output contract; with smooth
+        # (low-frequency) token content the merged attention should be a
+        # reasonable approximation, and padding must still mask correctly.
+        cfg = VGGTConfig.tiny(global_kv_stride=2)
+        cfg_full = VGGTConfig.tiny()
+        rng = jax.random.PRNGKey(0)
+        params = init_params(cfg_full, rng, sample_frames=2, image_hw=(56, 70))
+        imgs = jnp.asarray(np.random.default_rng(0).uniform(size=(3, 3, 56, 70)),
+                           dtype=jnp.float32)
+        out_m = VGGT(cfg).apply(params, imgs)       # same params, merged attn
+        out_f = VGGT(cfg_full).apply(params, imgs)
+        assert out_m["pose_enc"].shape == (3, 9)
+        for k, v in out_m.items():
+            assert bool(jnp.all(jnp.isfinite(v))), k
+        # not identical (it's an approximation) but same order of magnitude
+        d = np.abs(np.asarray(out_m["depth"]) - np.asarray(out_f["depth"]))
+        assert d.mean() < 10.0
+
+    def test_merged_padding_invariance(self):
+        cfg = VGGTConfig.tiny(global_kv_stride=2)
+        rng = jax.random.PRNGKey(1)
+        params = init_params(cfg, rng, sample_frames=2, image_hw=(56, 70))
+        rr = np.random.default_rng(2)
+        imgs = jnp.asarray(rr.uniform(size=(2, 3, 56, 70)), dtype=jnp.float32)
+        out_ref = VGGT(cfg).apply(params, imgs, valid_frames=2)
+        padded = jnp.concatenate(
+            [imgs, jnp.asarray(rr.uniform(size=(2, 3, 56, 70)),
+                               dtype=jnp.float32)], axis=0)
+        out_pad = VGGT(cfg).apply(params, padded, valid_frames=2)
+        np.testing.assert_allclose(np.asarray(out_pad["pose_enc"][:2]),
+                                   np.asarray(out_ref["pose_enc"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_pad["depth"][:2]),
+                                   np.asarray(out_ref["depth"]), atol=1e-5)

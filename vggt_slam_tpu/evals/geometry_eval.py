@@ -10,9 +10,24 @@ from __future__ import annotations
 import numpy as np
 from scipy.spatial import cKDTree
 
+try:
+    from vggt_slam_tpu.native.kdtree import KDTree as _NativeKDTree, available \
+        as _native_available
+    _USE_NATIVE = _native_available()
+except Exception:  # pragma: no cover - compiler missing
+    _USE_NATIVE = False
+
 
 def nn_distances(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """For each src point, distance to nearest dst point."""
+    """For each src point, distance to nearest dst point.
+
+    Uses the in-repo C++ KD-tree (native/kdtree.cpp) when a compiler is
+    available, matching the reference's native pykdtree dependency; scipy
+    cKDTree otherwise."""
+    if _USE_NATIVE:
+        d, _ = _NativeKDTree(np.asarray(dst, np.float32)).query(
+            np.asarray(src, np.float32))
+        return d.astype(np.float64)
     tree = cKDTree(np.asarray(dst, dtype=np.float32))
     d, _ = tree.query(np.asarray(src, dtype=np.float32), k=1, workers=-1)
     return d

@@ -50,6 +50,11 @@ parser.add_argument("--checkpoint", type=str, default=None,
                     help="path to converted VGGT weights (orbax/npz); random init if absent")
 parser.add_argument("--model_size", type=str, default="1b",
                     choices=["1b", "tiny"], help="model configuration")
+parser.add_argument("--global_kv_stride", type=int, default=1,
+                    help="FastVGGT-style global-attention K/V merging: keep "
+                         "every Nth patch token of non-reference frames as "
+                         "keys/values (1 = exact attention; 4 gives ~1.7x "
+                         "faster forwards - validate ATE before relying on it)")
 parser.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the run here")
 
@@ -63,10 +68,12 @@ def build_model_fn(args):
     from vggt_slam_tpu.models.vggt.convert import load_checkpoint
 
     on_tpu = jax.default_backend() == "tpu"
+    stride = getattr(args, "global_kv_stride", 1)
     if args.model_size == "tiny":
-        cfg = VGGTConfig.tiny(img_size=518)
+        cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride)
     else:
-        cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked")
+        cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
+                                 global_kv_stride=stride)
     model = VGGT(cfg)
 
     h, w = 392, 518  # recomputed per batch below; init shape is flexible

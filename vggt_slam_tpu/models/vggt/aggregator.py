@@ -81,6 +81,26 @@ class Aggregator(nn.Module):
         cos_g = jnp.tile(cos, (S, 1))
         sin_g = jnp.tile(sin, (S, 1))
 
+        # Global K/V token merging (cfg.global_kv_stride > 1): keys/values
+        # keep all of frame 0 + specials + stride-sampled patches of later
+        # frames. Frame-major order is preserved, so padded frames remain a
+        # maskable suffix of the kv sequence.
+        kv_index = None
+        kv_valid = global_valid
+        cos_kv = sin_kv = None
+        if cfg.global_kv_stride > 1 and S > 1:
+            import numpy as onp
+            r = cfg.global_kv_stride
+            per_frame = onp.concatenate([onp.arange(ns),
+                                         ns + onp.arange(0, P, r)])
+            idx = [onp.arange(N)]
+            idx += [f * N + per_frame for f in range(1, S)]
+            kv_index = jnp.asarray(onp.concatenate(idx), dtype=jnp.int32)
+            cos_kv = cos_g[kv_index]
+            sin_kv = sin_g[kv_index]
+            if valid_frames is not None:
+                kv_valid = N + (jnp.maximum(valid_frames, 1) - 1) * len(per_frame)
+
         captured: Dict[int, jax.Array] = {}
         capture_set = set(cfg.dpt_layers) | {cfg.agg_depth - 1}
         for d in range(cfg.agg_depth):
@@ -94,7 +114,8 @@ class Aggregator(nn.Module):
             xg = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
                        layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
                        attn_impl=cfg.attn_impl, name=f"global_block_{d}")(
-                xg, cos_g, sin_g, valid_len=global_valid)
+                xg, cos_g, sin_g, valid_len=global_valid, kv_index=kv_index,
+                kv_valid_len=kv_valid, kv_rope_cos=cos_kv, kv_rope_sin=sin_kv)
             x = xg.reshape(S, N, cfg.agg_dim)
 
             if d in capture_set:

@@ -52,6 +52,14 @@ class VGGTConfig:
     enable_point_head: bool = True
     enable_depth_head: bool = True
 
+    # Global-attention K/V token merging (FastVGGT-style, PAPERS.md:8):
+    # keys/values of global blocks keep ALL tokens of frame 0 plus every
+    # `global_kv_stride`-th patch token of the other frames (special tokens
+    # always kept); queries stay dense so every output token is produced.
+    # 1 = exact attention. >1 trades accuracy for an ~stride-fold cut of the
+    # dominant O((S*P)^2) cost - validate ATE impact before enabling.
+    global_kv_stride: int = 1
+
     @property
     def tokens_per_frame_special(self) -> int:
         return 1 + self.num_register_tokens  # camera + registers

@@ -82,27 +82,60 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
-                 valid_len: Optional[int] = None):
+                 valid_len: Optional[int] = None, kv_index=None,
+                 kv_valid_len=None, kv_rope_cos=None, kv_rope_sin=None):
+        """Self-attention; `kv_index` (static int array) restricts keys and
+        values to a token subset (global K/V merging) while queries stay
+        dense. The fused qkv parameter layout is kept (torch-converter
+        compatible paths attn/qkv/{kernel,bias}); the k/v projection only
+        runs on the subset."""
         B, N, C = x.shape
         H = self.num_heads
         Dh = C // H
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, Dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
-        q = jnp.swapaxes(q, 1, 2)  # (B, H, N, Dh)
-        k = jnp.swapaxes(k, 1, 2)
-        v = jnp.swapaxes(v, 1, 2)
 
+        kernel = _FusedQKV(C, use_bias=self.qkv_bias, name="qkv")()
+        qkv_kernel, qkv_bias = kernel
+        qkv_kernel = qkv_kernel.astype(self.dtype)
+
+        q = x @ qkv_kernel[:, :C]
+        kv_src = x if kv_index is None else x[:, kv_index]
+        kv = kv_src @ qkv_kernel[:, C:]
+        if qkv_bias is not None:
+            qkv_bias = qkv_bias.astype(self.dtype)
+            q = q + qkv_bias[:C]
+            kv = kv + qkv_bias[C:]
+        Nk = kv.shape[1]
+        q = jnp.swapaxes(q.reshape(B, N, H, Dh), 1, 2)          # (B,H,N,Dh)
+        kv = kv.reshape(B, Nk, 2, H, Dh)
+        k = jnp.swapaxes(kv[:, :, 0], 1, 2)
+        v = jnp.swapaxes(kv[:, :, 1], 1, 2)
+
+        if kv_index is None:
+            kv_rope_cos, kv_rope_sin = rope_cos, rope_sin
+            kv_valid_len = valid_len
         if rope_cos is not None:
             q = apply_rope(q, rope_cos, rope_sin)
-            k = apply_rope(k, rope_cos, rope_sin)
+            k = apply_rope(k, kv_rope_cos, kv_rope_sin)
 
         interpret = jax.default_backend() != "tpu"
         out = attn_ops.attention(q, k, v, impl=self.attn_impl,
-                                 valid_len=valid_len, interpret=interpret)
+                                 valid_len=kv_valid_len, interpret=interpret)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class _FusedQKV(nn.Module):
+    """Parameter container with nn.Dense-compatible init and param paths."""
+    dim: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.dim, 3 * self.dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (3 * self.dim,), jnp.float32) if self.use_bias else None
+        return kernel, bias
 
 
 class Block(nn.Module):
@@ -116,7 +149,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
-                 valid_len: Optional[int] = None):
+                 valid_len: Optional[int] = None, kv_index=None,
+                 kv_valid_len=None, kv_rope_cos=None, kv_rope_sin=None):
         def ls(name):
             if self.layerscale is None:
                 return lambda y: y
@@ -125,7 +159,9 @@ class Block(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         h = Attention(self.dim, self.num_heads, dtype=self.dtype,
                       attn_impl=self.attn_impl, name="attn")(
-            h, rope_cos, rope_sin, valid_len)
+            h, rope_cos, rope_sin, valid_len, kv_index=kv_index,
+            kv_valid_len=kv_valid_len, kv_rope_cos=kv_rope_cos,
+            kv_rope_sin=kv_rope_sin)
         x = x + ls("ls1")(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,

@@ -328,7 +328,7 @@ def expm(A: jax.Array) -> jax.Array:
     return out
 
 
-def _sqrtm_db(A: jax.Array, iters: int = 14) -> jax.Array:
+def _sqrtm_db(A: jax.Array, iters: int = 9) -> jax.Array:
     """Denman-Beavers matrix square root (fixed iterations, 4x4-friendly)."""
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
     def body(_, yz):
@@ -340,7 +340,7 @@ def _sqrtm_db(A: jax.Array, iters: int = 14) -> jax.Array:
     return Y
 
 
-def logm(A: jax.Array, num_sqrt: int = 4, series_terms: int = 8) -> jax.Array:
+def logm(A: jax.Array, num_sqrt: int = 3, series_terms: int = 8) -> jax.Array:
     """Principal matrix log via inverse scaling-and-squaring + Gregory series.
 
     log(A) = 2^k * 2 * (B + B^3/3 + B^5/5 + ...),  B = (A'-I)(A'+I)^-1,

@@ -156,7 +156,7 @@ def optimize(
     g: GraphArrays,
     manifold: str = "sl4",
     max_iters: int = 60,
-    inner_tries: int = 6,
+    inner_tries: int = 4,
     lambda_init: float = 1e-5,
     lambda_factor: float = 10.0,
     abs_tol: float = 1e-12,

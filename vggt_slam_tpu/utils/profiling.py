@@ -1,0 +1,75 @@
+"""Tracing & per-stage timing (first-class, unlike the reference).
+
+The reference has no profiler hooks at all (SURVEY.md section 5.1 - the perf
+evaluator is a placeholder); here every pipeline stage can be timed with
+`StageTimer` and whole runs traced with `jax.profiler` via `trace()`.
+
+Device timing caveat: on the axon TPU tunnel `block_until_ready` returns
+early, so `sync()` forces a scalar host readback - use it (or StageTimer's
+sync argument) around anything you time.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+
+
+def sync(tree) -> float:
+    """Force device completion by reading back one scalar per leaf array."""
+    total = 0.0
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            total += float(jnp.sum(leaf))
+    return total
+
+
+class StageTimer:
+    """Accumulates wall-time per named pipeline stage.
+
+    with timer.stage("vggt_forward", out):   # syncs `out` on exit
+        out = model_fn(images)
+    """
+
+    def __init__(self):
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync_tree=None):
+        t0 = time.time()
+        holder = {}
+        try:
+            yield holder
+        finally:
+            if sync_tree is not None:
+                sync(sync_tree)
+            elif "out" in holder:
+                sync(holder["out"])
+            dt = time.time() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def summary(self) -> dict:
+        return {name: {"total_s": round(t, 4),
+                       "count": self.counts[name],
+                       "mean_ms": round(t / max(self.counts[name], 1) * 1e3, 2)}
+                for name, t in sorted(self.totals.items(),
+                                      key=lambda kv: -kv[1])}
+
+    def report(self) -> str:
+        return json.dumps(self.summary(), indent=2)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace of the enclosed region (TensorBoard-readable)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
