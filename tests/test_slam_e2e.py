@@ -171,3 +171,49 @@ class TestLoopClosure:
                 subset = subset[-1:]
         assert detected_any
         assert solver.graph.get_num_loops() >= 1
+
+
+class TestCheckpointResume:
+    def test_save_load_continue(self, tmp_path):
+        from vggt_slam_tpu.slam import checkpoint
+        from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
+        # Run half the trajectory, checkpoint, resume, run the rest; the
+        # resumed map must match a straight-through run.
+        n = 9
+        w2c = circular_trajectory(n)
+        K = default_K(IMAGE_HW)
+
+        def run(frames_range, solver, model):
+            frames = [model.make_image(i) for i in range(n)]
+            subset = []
+            for i in frames_range:
+                subset.append(i)
+                if len(subset) == 4 or i == frames_range[-1]:
+                    images = np.stack([frames[j] for j in subset])
+                    preds = solver.run_predictions(
+                        images, model, 0, names=[f"{j}.png" for j in subset])
+                    solver.add_points(preds)
+                    solver.graph.optimize()
+                    solver.map.update_submap_homographies(solver.graph)
+                    subset = subset[-1:]
+            return solver
+
+        model = FakeVGGT(w2c, K, image_hw=IMAGE_HW)
+        s1 = Solver(retrieval=ImageRetrieval(descriptor_fn=cheap_descriptor))
+        run(range(0, 7), s1, model)
+        ckpt = str(tmp_path / "ckpt")
+        checkpoint.save_state(s1, ckpt)
+
+        s2 = checkpoint.load_state(
+            ckpt, retrieval=ImageRetrieval(descriptor_fn=cheap_descriptor))
+        assert s2.map.get_num_submaps() == s1.map.get_num_submaps()
+        np.testing.assert_allclose(
+            s2.map.get_latest_submap().get_reference_homography(),
+            s1.map.get_latest_submap().get_reference_homography())
+        # resumed solver keeps mapping (frames 6..8, overlap via prior pcd)
+        model2 = FakeVGGT(w2c, K, image_hw=IMAGE_HW)
+        model2.calls = 2
+        run(range(6, 9), s2, model2)
+        assert s2.map.get_num_submaps() == s1.map.get_num_submaps() + 1
+        err = ate_rmse(s2, w2c)
+        assert err < 0.02, f"resumed ATE {err}"
