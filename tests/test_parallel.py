@@ -1,0 +1,63 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vggt_slam_tpu.models.vggt.config import VGGTConfig
+from vggt_slam_tpu.models.vggt.model import VGGT, init_params
+from vggt_slam_tpu.parallel.mesh import make_mesh, make_param_shardings
+from vggt_slam_tpu.parallel.infer import make_sharded_forward
+from vggt_slam_tpu.parallel.train import make_dryrun_batch, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup(cpu_devices):
+    cfg = VGGTConfig.tiny(agg_dim=64, enc_dim=64, agg_heads=4, enc_heads=4)
+    params = init_params(cfg, jax.random.PRNGKey(0), 1, (56, 70))
+    return cfg, params
+
+
+class TestMesh:
+    def test_mesh_shape(self, cpu_devices):
+        mesh = make_mesh(cpu_devices)
+        assert mesh.shape == {"dp": 4, "tp": 2}
+
+    def test_param_rules_applied(self, setup, cpu_devices):
+        cfg, params = setup
+        mesh = make_mesh(cpu_devices)
+        shardings = make_param_shardings(params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+        tp_sharded = [p for p, s in flat if "tp" in str(s.spec)]
+        assert len(tp_sharded) > 0  # qkv/mlp kernels picked up the rules
+
+
+class TestShardedInference:
+    def test_matches_single_device(self, setup, cpu_devices):
+        cfg, params = setup
+        mesh = make_mesh(cpu_devices)
+        model = VGGT(cfg)
+        imgs = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(4, 3, 56, 70)), dtype=jnp.float32)  # 4 frames / dp=4
+        fwd, p_sharded = make_sharded_forward(model, params, mesh)
+        out_sharded = fwd(p_sharded, imgs)
+        out_ref = model.apply(params, imgs)
+        np.testing.assert_allclose(np.asarray(out_sharded["pose_enc"]),
+                                   np.asarray(out_ref["pose_enc"]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out_sharded["depth"]),
+                                   np.asarray(out_ref["depth"]),
+                                   rtol=2e-2, atol=2e-3)
+
+
+class TestShardedTraining:
+    def test_loss_decreases(self, setup, cpu_devices):
+        cfg, params = setup
+        mesh = make_mesh(cpu_devices)
+        step, opt_state, _ = make_train_step(cfg, mesh, params)
+        batch = make_dryrun_batch(cfg, 8, (56, 56))
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]

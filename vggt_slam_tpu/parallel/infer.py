@@ -1,0 +1,39 @@
+"""Sharded multi-chip VGGT inference.
+
+Single-chip inference covers the reference's operating envelope (it is a
+single-GPU system - SURVEY.md section 2.4), but larger submaps at higher
+resolutions exceed one chip's HBM/FLOPs; this helper jits the forward over a
+("dp","tp") mesh: frames sharded over dp (the encoder, frame attention and
+DPT heads are frame-parallel; XLA all-gathers at the global-attention
+blocks), Megatron-style TP over qkv/mlp via the parallel.mesh rules, with
+collectives riding ICI.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vggt_slam_tpu.parallel.mesh import (frame_sharding, make_mesh,
+                                         make_param_shardings, replicated)
+
+
+def make_sharded_forward(model, params, mesh=None):
+    """Return (forward_fn, sharded_params).
+
+    forward_fn(sharded_params, images) runs the jitted forward with dp/tp
+    shardings; `images` frame counts must be divisible by the dp axis.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    p_shard = make_param_shardings(params, mesh)
+    params_sharded = jax.device_put(params, p_shard)
+    f_shard = frame_sharding(mesh)
+    r_shard = replicated(mesh)
+
+    out_shardings = dict(images=f_shard, pose_enc=f_shard, depth=f_shard,
+                         depth_conf=f_shard, world_points=f_shard,
+                         world_points_conf=f_shard)
+
+    fwd = jax.jit(model.apply, in_shardings=(p_shard, f_shard),
+                  out_shardings=out_shardings)
+    return fwd, params_sharded

@@ -25,9 +25,11 @@ class LoopMatch(NamedTuple):
 
 
 class LoopMatchQueue:
-    """Bounded max-heap over similarity score (smaller score = more similar;
-    the queue evicts the *most* similar overflow to mirror the reference's
-    negated-heap behavior, and returns matches least-similar first)."""
+    """Bounded heap over similarity score (smaller L2 = more similar).
+
+    Overflow evicts the LEAST similar match; get_matches() returns the
+    survivors most-similar first - the same negated-heap construction as the
+    reference (loop_closure.py:39-52)."""
 
     def __init__(self, max_size: int):
         self.max_size = max_size
