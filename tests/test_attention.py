@@ -50,6 +50,23 @@ class TestAgreement:
                                      block_k=128, interpret=True)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref), atol=2e-5)
 
+    def test_single_block_path_matches_naive(self):
+        # Default block args + short keys trigger the one-shot softmax
+        # kernel (no online-softmax accumulators).
+        rng = np.random.default_rng(6)
+        q, k, v = make_qkv(rng, B=1, H=2, N=300, D=64)
+        out_n = attn.naive_attention(q, k, v)
+        out_f = attn.flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n), atol=2e-5)
+
+    def test_single_block_path_valid_len(self):
+        rng = np.random.default_rng(7)
+        q, k, v = make_qkv(rng, B=1, H=2, N=300, D=64)
+        out_ref = attn.naive_attention(q, k[:, :, :123], v[:, :, :123])
+        out_f = attn.flash_attention(q, k, v, valid_len=jnp.int32(123),
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref), atol=2e-5)
+
     def test_bf16_inputs(self):
         rng = np.random.default_rng(4)
         q, k, v = make_qkv(rng, B=1, H=1, N=256, D=64, dtype=jnp.bfloat16)
