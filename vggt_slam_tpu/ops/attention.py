@@ -200,7 +200,10 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret):
             out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct((B * H, qf.shape[1], D), q.dtype),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel")),
+                dimension_semantics=("parallel", "parallel"),
+                # v5e has 128MB VMEM; the default 16MB scoped limit rejects
+                # the larger tiles that win at these shapes.
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(vl, qf, kf, vf)
         return out[:, :Nq].reshape(B, H, Nq, D)
@@ -229,7 +232,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret):
         # (online-softmax accumulators). Declaring this lets Mosaic pipeline
         # and reorder the parallel axes.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(vl, qf, kf, vf)
     return out[:, :Nq].reshape(B, H, Nq, D)
