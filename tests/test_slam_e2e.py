@@ -173,6 +173,97 @@ class TestLoopClosure:
         assert solver.graph.get_num_loops() >= 1
 
 
+class TestPipelinedLoop:
+    """Dispatch-ahead pipeline (main.py default): submap k+1 is dispatched
+    before submap k is integrated. Must produce bit-identical maps to the
+    serial flow (same model-call and RANSAC-key order, same loop-search
+    submap set)."""
+
+    def _run_pipelined(self, n_frames=9, submap_size=3, max_loops=0):
+        w2c = circular_trajectory(n_frames)
+        K = default_K(IMAGE_HW)
+        model = FakeVGGT(w2c, K, image_hw=IMAGE_HW)
+        solver = Solver(init_conf_threshold=25.0,
+                        retrieval=ImageRetrieval(descriptor_fn=cheap_descriptor))
+        frames = [model.make_image(i) for i in range(n_frames)]
+
+        def integrate(pending):
+            preds = solver.collect_predictions(pending)
+            solver.add_points(preds)
+            solver.graph.optimize()
+            solver.map.update_submap_homographies(solver.graph)
+
+        subset, pending, next_id = [], None, 0
+        for i in range(n_frames):
+            subset.append(i)
+            if len(subset) == submap_size + 1 or i == n_frames - 1:
+                images = np.stack([frames[j] for j in subset])
+                new_pending = solver.dispatch_predictions(
+                    images, model, max_loops,
+                    names=[f"{j}.png" for j in subset],
+                    new_id=next_id, previous_in_map=(pending is None))
+                next_id += 1
+                if pending is not None:
+                    integrate(pending)
+                pending = new_pending
+                subset = subset[-1:]
+        if pending is not None:
+            integrate(pending)
+        return solver, w2c
+
+    def test_matches_serial_flow(self):
+        sp, w2c = self._run_pipelined()
+        ss, _ = run_slam()
+        assert sp.map.get_num_submaps() == ss.map.get_num_submaps()
+        for sub_p, sub_s in zip(sp.map.ordered_submaps_by_key(),
+                                ss.map.ordered_submaps_by_key()):
+            np.testing.assert_allclose(sub_p.get_reference_homography(),
+                                       sub_s.get_reference_homography(),
+                                       atol=1e-9)
+        assert ate_rmse(sp, w2c) < 0.01
+
+    def test_pipelined_loop_closure_detected(self):
+        # Same revisit scenario as TestLoopClosure but dispatch-ahead: the
+        # loop search runs with previous_in_map=False and must still fire.
+        n = 12
+        w2c = circular_trajectory(n)
+        w2c[-1] = w2c[0]
+        w2c[-2] = w2c[1]
+        K = default_K(IMAGE_HW)
+        model = FakeVGGT(w2c, K, image_hw=IMAGE_HW)
+        solver = Solver(init_conf_threshold=25.0,
+                        retrieval=ImageRetrieval(descriptor_fn=cheap_descriptor))
+        frames = [model.make_image(i) for i in range(n)]
+        frames[-1][1:, 5:, 5:] = frames[0][1:, 5:, 5:]
+        frames[-2][1:, 5:, 5:] = frames[1][1:, 5:, 5:]
+
+        def integrate(pending):
+            preds = solver.collect_predictions(pending)
+            solver.add_points(preds)
+            solver.graph.optimize()
+            solver.map.update_submap_homographies(solver.graph)
+
+        subset, pending, next_id = [], None, 0
+        detected_any = False
+        for i in range(n):
+            subset.append(i)
+            if len(subset) == 4 or i == n - 1:
+                images = np.stack([frames[j] for j in subset])
+                new_pending = solver.dispatch_predictions(
+                    images, model, 1, names=[f"{j}.png" for j in subset],
+                    new_id=next_id, previous_in_map=(pending is None))
+                detected_any |= len(new_pending["detected_loops"]) > 0
+                next_id += 1
+                if pending is not None:
+                    integrate(pending)
+                pending = new_pending
+                subset = subset[-1:]
+        if pending is not None:
+            integrate(pending)
+        assert detected_any
+        assert solver.graph.get_num_loops() >= 1
+
+
 class TestCheckpointResume:
     def test_save_load_continue(self, tmp_path):
         from vggt_slam_tpu.slam import checkpoint

@@ -57,6 +57,9 @@ parser.add_argument("--global_kv_stride", type=int, default=1,
                          "faster forwards - validate ATE before relying on it)")
 parser.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the run here")
+parser.add_argument("--no_pipeline", action="store_true",
+                    help="disable the dispatch-ahead pipeline (serial "
+                         "reference flow: forward, integrate, repeat)")
 
 
 def build_model_fn(args):
@@ -92,10 +95,12 @@ def build_model_fn(args):
 
     # Static submap bucket: submap_size + overlap + loop budget, so every
     # per-submap forward (including the last partial one) reuses one
-    # compiled program.
+    # compiled program. In pipelined mode the model_fn returns device arrays
+    # (dispatch only); the solver materializes them at integration time.
     from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
     bucket = args.submap_size + args.overlapping_window_size + args.max_loops
-    return make_bucketed_model_fn(model, params, bucket)
+    return make_bucketed_model_fn(model, params, bucket,
+                                  as_numpy=args.no_pipeline)
 
 
 def main():
@@ -140,6 +145,42 @@ def main():
     focal_data = []
     subset: list[str] = []
     t_start = time.time()
+
+    def load_semantics(paths):
+        if args.semantic_emb_dir is None:
+            return None
+        embs = []
+        for img_path in paths:
+            stem = os.path.splitext(os.path.basename(img_path))[0]
+            emb_path = os.path.join(args.semantic_emb_dir, f"{stem}.npz")
+            if not os.path.exists(emb_path):
+                raise FileNotFoundError(
+                    f"Missing semantic embedding for {img_path}: {emb_path}")
+            embs.append(np.load(emb_path)["embedding"])
+        return np.stack(embs, axis=0)
+
+    def integrate(predictions):
+        if "outputs" in predictions:  # still a pending dispatch
+            predictions = solver.collect_predictions(predictions)
+        focal_data.append(predictions["intrinsic"][:, 0, 0])
+        solver.add_points(predictions)
+        solver.graph.optimize()
+        solver.map.update_submap_homographies(solver.graph)
+        if args.vis_map:
+            if len(predictions["detected_loops"]) > 0:
+                solver.update_all_submap_vis()
+            else:
+                solver.update_latest_submap_vis()
+
+    # Dispatch-ahead pipeline (default): submap k+1's retrieval + forward is
+    # dispatched BEFORE submap k is integrated, so the host-side work
+    # (keyframing the next frames, the ~100MB prediction readback, RANSAC
+    # inputs, graph bookkeeping) overlaps the device forward. The loop
+    # search sees the same submap set as the reference's serial flow
+    # (solver.dispatch_predictions docstring).
+    pipeline = not args.no_pipeline
+    pending = None
+    next_id = 0
     for image_name in image_names:
         img = cv2.imread(image_name)
         if solver.flow_tracker.compute_disparity(img, args.min_disparity,
@@ -149,32 +190,23 @@ def main():
         is_last = image_name == image_names[-1]
         if len(subset) == args.submap_size + args.overlapping_window_size or \
                 (is_last and len(subset) > 1):
-            semantic_embeddings = None
-            if args.semantic_emb_dir is not None:
-                embs = []
-                for img_path in subset:
-                    stem = os.path.splitext(os.path.basename(img_path))[0]
-                    emb_path = os.path.join(args.semantic_emb_dir, f"{stem}.npz")
-                    if not os.path.exists(emb_path):
-                        raise FileNotFoundError(
-                            f"Missing semantic embedding for {img_path}: {emb_path}")
-                    embs.append(np.load(emb_path)["embedding"])
-                semantic_embeddings = np.stack(embs, axis=0)
-
-            predictions = solver.run_predictions(
-                subset, model_fn, args.max_loops,
-                semantic_embeddings=semantic_embeddings)
-            focal_data.append(predictions["intrinsic"][:, 0, 0])
-            solver.add_points(predictions)
-            solver.graph.optimize()
-            solver.map.update_submap_homographies(solver.graph)
-
-            if args.vis_map:
-                if len(predictions["detected_loops"]) > 0:
-                    solver.update_all_submap_vis()
-                else:
-                    solver.update_latest_submap_vis()
+            semantic_embeddings = load_semantics(subset)
+            if pipeline:
+                new_pending = solver.dispatch_predictions(
+                    subset, model_fn, args.max_loops,
+                    semantic_embeddings=semantic_embeddings,
+                    new_id=next_id, previous_in_map=(pending is None))
+                if pending is not None:
+                    integrate(pending)
+                pending = new_pending
+            else:
+                integrate(solver.run_predictions(
+                    subset, model_fn, args.max_loops,
+                    semantic_embeddings=semantic_embeddings))
+            next_id += 1
             subset = subset[-args.overlapping_window_size:]
+    if pending is not None:
+        integrate(pending)
 
     n_frames = len(image_names)
     dt = time.time() - t_start

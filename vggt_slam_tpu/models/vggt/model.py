@@ -65,7 +65,8 @@ def init_params(cfg: VGGTConfig, rng: jax.Array, sample_frames: int = 2,
     return model.init(rng, dummy)
 
 
-def make_bucketed_model_fn(model: VGGT, params, bucket_size: int):
+def make_bucketed_model_fn(model: VGGT, params, bucket_size: int,
+                           as_numpy: bool = True):
     """Prediction callable with static-shape submap bucketing.
 
     Pads any (S, 3, H, W) batch with S <= bucket_size up to exactly
@@ -74,6 +75,12 @@ def make_bucketed_model_fn(model: VGGT, params, bucket_size: int):
     frame count (variable keyframe counts, last-partial submaps, and
     0..max_loops appended loop frames all hit the same program). Outputs
     are sliced back to the true S.
+
+    `as_numpy=False` returns device arrays WITHOUT forcing a host readback:
+    the call only dispatches work, so the caller can overlap host-side work
+    (image decode, keyframing, integrating the previous submap) with the
+    forward and materialize later - the lever behind the pipelined SLAM
+    loop (main.py --pipeline).
     """
     import numpy as np
 
@@ -90,7 +97,10 @@ def make_bucketed_model_fn(model: VGGT, params, bucket_size: int):
             # valid_frames is TRACED: every S <= bucket_size reuses one
             # compiled program.
             out = fwd(params, padded, jnp.int32(S))
-        return {k: np.asarray(v[:S]) for k, v in out.items() if k != "images"}
+        if as_numpy:
+            return {k: np.asarray(v[:S]) for k, v in out.items()
+                    if k != "images"}
+        return {k: v[:S] for k, v in out.items() if k != "images"}
 
     return model_fn
 

@@ -77,11 +77,15 @@ class ImageRetrieval:
         return np.asarray(self.descriptor_fn(frames))[:S]
 
     def find_loop_closures(self, map, submap, max_similarity_thres: float = 0.80,
-                           max_loop_closures: int = 0):
+                           max_loop_closures: int = 0, skip_last: bool = True):
+        """`skip_last` mirrors the reference's previous-submap exclusion
+        (map.py:38-44). The pipelined solver passes False because there the
+        previous submap is not yet inserted when the search runs - the same
+        set of submaps is searched either way."""
         queue = LoopMatchQueue(max_size=max_loop_closures)
         for query_id, qvec in enumerate(submap.get_all_retrieval_vectors()):
             score, best_submap, best_frame = map.retrieve_best_score_frame(
-                qvec, submap.get_id(), ignore_last_submap=True)
+                qvec, submap.get_id(), ignore_last_submap=skip_last)
             if score < max_similarity_thres:
                 queue.add(LoopMatch(score, submap.get_id(), query_id,
                                     best_submap, best_frame))

@@ -74,6 +74,23 @@ class Solver:
                 world_points (S',H,W,3), world_points_conf (S',H,W).
             max_loops: loop-closure budget for this submap.
         """
+        pending = self.dispatch_predictions(image_names, model_fn, max_loops,
+                                            semantic_embeddings, names)
+        return self.collect_predictions(pending)
+
+    def dispatch_predictions(self, image_names, model_fn, max_loops: int,
+                             semantic_embeddings=None, names=None,
+                             new_id=None, previous_in_map: bool = True) -> dict:
+        """Phase 1 of run_predictions: retrieval + loop detection + forward
+        DISPATCH. Returns a pending dict whose model outputs may still be
+        device arrays; `collect_predictions` materializes them.
+
+        The split exists for the pipelined SLAM loop: dispatch submap k+1's
+        forward, then integrate submap k on host while the device works.
+        In that mode submap k is not yet in the map, so pass its id + 1 as
+        `new_id` and `previous_in_map=False` (the loop search then skips
+        nothing extra - the reference's previous-submap exclusion is
+        satisfied by k's absence)."""
         if isinstance(image_names, (list, tuple)):
             images = load_and_preprocess_images(list(image_names))
             names = list(image_names)
@@ -82,7 +99,8 @@ class Solver:
             if names is None:
                 names = [f"{i}.png" for i in range(images.shape[0])]
 
-        new_id = self.map.get_largest_key() + 1
+        if new_id is None:
+            new_id = self.map.get_largest_key() + 1
         new_submap = Submap(new_id)
         new_submap.add_all_frames(images)
         new_submap.set_frame_ids(names)
@@ -90,7 +108,8 @@ class Solver:
             self.image_retrieval.get_all_submap_embeddings(new_submap))
 
         detected_loops = self.image_retrieval.find_loop_closures(
-            self.map, new_submap, max_loop_closures=max_loops)
+            self.map, new_submap, max_loop_closures=max_loops,
+            skip_last=previous_in_map)
         retrieved_frames = self.map.get_frames_from_loops(detected_loops)
 
         new_submap.set_last_non_loop_frame_index(images.shape[0] - 1)
@@ -118,13 +137,23 @@ class Solver:
 
         self.current_working_submap = new_submap
 
-        predictions = {k: np.asarray(v) for k, v in model_fn(images).items()}
+        # model_fn may return device arrays (make_bucketed_model_fn with
+        # as_numpy=False): this call only dispatches the forward.
+        return {"outputs": model_fn(images), "images": images,
+                "detected_loops": detected_loops, "submap": new_submap}
+
+    def collect_predictions(self, pending: dict) -> dict:
+        """Phase 2: materialize the forward's outputs on host and decode
+        camera parameters. This is where the device sync happens."""
+        images = pending["images"]
+        predictions = {k: np.asarray(v) for k, v in pending["outputs"].items()}
         extrinsic, intrinsic = geometry.pose_encoding_to_extri_intri(
             jnp.asarray(predictions["pose_enc"]), images.shape[-2:])
         predictions["extrinsic"] = np.asarray(extrinsic)
         predictions["intrinsic"] = np.asarray(intrinsic)
         predictions["images"] = images
-        predictions["detected_loops"] = detected_loops
+        predictions["detected_loops"] = pending["detected_loops"]
+        predictions["submap"] = pending["submap"]
         return predictions
 
     # ------------------------------------------------------------------ #
@@ -161,7 +190,7 @@ class Solver:
         cam_to_world = np.array(lie.se3_inverse(
             jnp.asarray(extrinsics_cam, wide)))
 
-        sub = self.current_working_submap
+        sub = pred_dict.get("submap") or self.current_working_submap
         new_id = sub.get_id()
 
         if self.first_edge:
