@@ -71,6 +71,22 @@ class TestLKTrack:
         np.testing.assert_allclose(med, [4, -2], atol=0.1)
 
 
+class TestSynthSequence:
+    def test_generator_and_gate(self, tmp_path):
+        import cv2
+        from vggt_slam_tpu.tools.synth_sequence import generate_sequence
+        names = generate_sequence(str(tmp_path), n_frames=8, size=(160, 120),
+                                  step_px=12.0)
+        assert len(names) == 8
+        img = cv2.imread(names[0])
+        assert img.shape == (120, 160, 3)
+        # real optical flow: the keyframe gate must fire more than once
+        ft = FrameTracker()
+        fires = sum(ft.compute_disparity(cv2.imread(n), min_disparity=8.0)
+                    for n in names)
+        assert fires >= 2
+
+
 class TestFrameTrackerGate:
     def test_jax_backend_gate(self):
         import cv2

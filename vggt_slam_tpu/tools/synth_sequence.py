@@ -1,0 +1,94 @@
+"""Synthetic image-sequence generator for smoke tests and demos.
+
+The reference's manual acceptance test is the office_loop.zip sample (its
+README.md:132-143; stripped from the mirror) - default params produce
+exactly one loop closure. No dataset ships in this environment either, so
+this tool generates a deterministic textured sequence with real optical
+flow (a smoothly panning view of a procedurally textured scene, optionally
+returning to the start so retrieval-based loop closure can fire) that
+drives the full CLI end-to-end: keyframe gate, submap forwards,
+registration, loop closure, artifact writers.
+
+CLI: python -m vggt_slam_tpu.tools.synth_sequence --out_dir /tmp/seq \
+        [--n_frames 60] [--loop] [--size 640 480]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def make_texture(height: int, width: int, seed: int = 0,
+                 blur_sigma: float = 3.0) -> np.ndarray:
+    """Procedural RGB texture with enough corners for Shi-Tomasi/LK."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    tex = rng.uniform(0, 255, (height, width, 3)).astype(np.uint8)
+    tex = cv2.GaussianBlur(tex, (0, 0), blur_sigma)
+    # add high-contrast blobs so corner detection is well-fed
+    for _ in range(60):
+        c = tuple(int(v) for v in rng.uniform((0, 0), (width, height)))
+        cv2.circle(tex, c, int(rng.uniform(5, 25)),
+                   tuple(int(v) for v in rng.uniform(0, 255, 3)), -1)
+    return tex
+
+
+def camera_path(n_frames: int, span_x: float, span_y: float,
+                loop: bool) -> np.ndarray:
+    """(N, 2) pixel offsets of the viewport. `loop` returns to the start."""
+    t = np.linspace(0.0, 1.0, n_frames)
+    if loop:
+        ang = 2 * np.pi * t
+        xs = 0.5 * span_x * (1 - np.cos(ang))
+        ys = 0.5 * span_y * np.sin(ang)
+    else:
+        xs = span_x * t
+        ys = span_y * t
+    return np.stack([xs, ys], axis=1)
+
+
+def generate_sequence(out_dir: str, n_frames: int = 60,
+                      size: tuple[int, int] = (640, 480), loop: bool = True,
+                      seed: int = 0, step_px: float = 18.0) -> list[str]:
+    """Write {i:04d}.png frames; returns the file list."""
+    import cv2
+
+    w, h = size
+    span = step_px * n_frames
+    tex = make_texture(h + int(abs(span) * 0.6) + 200,
+                       w + int(span) + 200, seed=seed)
+    path = camera_path(n_frames, span_x=span * (0.5 if loop else 1.0),
+                       span_y=span * 0.15, loop=loop)
+    os.makedirs(out_dir, exist_ok=True)
+    names = []
+    for i, (x, y) in enumerate(path):
+        x0 = int(100 + x)
+        y0 = int(100 + abs(y))
+        frame = tex[y0:y0 + h, x0:x0 + w]
+        name = os.path.join(out_dir, f"{i:04d}.png")
+        cv2.imwrite(name, frame)
+        names.append(name)
+    return names
+
+
+def main():
+    p = argparse.ArgumentParser(description="Generate a synthetic sequence")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--n_frames", type=int, default=60)
+    p.add_argument("--size", type=int, nargs=2, default=(640, 480),
+                   metavar=("W", "H"))
+    p.add_argument("--no_loop", action="store_true",
+                   help="straight pan instead of a loop trajectory")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    names = generate_sequence(args.out_dir, n_frames=args.n_frames,
+                              size=tuple(args.size), loop=not args.no_loop,
+                              seed=args.seed)
+    print(f"wrote {len(names)} frames to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
