@@ -67,6 +67,37 @@ class TestAgreement:
                                      interpret=True)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref), atol=2e-5)
 
+    def test_in_kernel_rope_matches_preapplied(self):
+        # flash with rope tables == naive on pre-roped q/k, both paths.
+        from vggt_slam_tpu.models.vggt.modules import apply_rope, rope_2d_angles
+        rng = np.random.default_rng(8)
+        for N, bq, bk in ((300, 1024, 2048),      # single-block path
+                          (300, 128, 128)):       # multi-block path
+            q, k, v = make_qkv(rng, B=1, H=2, N=N, D=64)
+            pos = jnp.asarray(rng.uniform(0, 20, size=(N, 2)), jnp.float32)
+            cos, sin = rope_2d_angles(pos, 64, base=100.0)
+            out_ref = attn.naive_attention(apply_rope(q, cos, sin),
+                                           apply_rope(k, cos, sin), v)
+            out_f = attn.flash_attention(q, k, v, block_q=bq, block_k=bk,
+                                         interpret=True,
+                                         rope_q=(cos, sin), rope_k=(cos, sin))
+            np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                                       atol=5e-5, err_msg=f"N={N} bq={bq}")
+
+    def test_in_kernel_rope_with_valid_len(self):
+        from vggt_slam_tpu.models.vggt.modules import apply_rope, rope_2d_angles
+        rng = np.random.default_rng(9)
+        q, k, v = make_qkv(rng, B=1, H=2, N=260, D=64)
+        pos = jnp.asarray(rng.uniform(0, 20, size=(260, 2)), jnp.float32)
+        cos, sin = rope_2d_angles(pos, 64, base=100.0)
+        qr, kr = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        out_ref = attn.naive_attention(qr, kr[:, :, :100], v[:, :, :100])
+        out_f = attn.flash_attention(q, k, v, valid_len=jnp.int32(100),
+                                     interpret=True,
+                                     rope_q=(cos, sin), rope_k=(cos, sin))
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                                   atol=5e-5)
+
     def test_bf16_inputs(self):
         rng = np.random.default_rng(4)
         q, k, v = make_qkv(rng, B=1, H=1, N=256, D=64, dtype=jnp.bfloat16)

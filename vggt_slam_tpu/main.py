@@ -99,8 +99,9 @@ def build_model_fn(args):
     # (dispatch only); the solver materializes them at integration time.
     from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
     bucket = args.submap_size + args.overlapping_window_size + args.max_loops
-    return make_bucketed_model_fn(model, params, bucket,
-                                  as_numpy=args.no_pipeline)
+    return make_bucketed_model_fn(
+        model, params, bucket,
+        as_numpy=getattr(args, "no_pipeline", True))
 
 
 def main():

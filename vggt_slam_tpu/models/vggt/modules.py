@@ -113,13 +113,23 @@ class Attention(nn.Module):
         if kv_index is None:
             kv_rope_cos, kv_rope_sin = rope_cos, rope_sin
             kv_valid_len = valid_len
+
+        # The flash kernel applies rotary in-kernel from the tiny shared
+        # tables (ops/attention.py), skipping two full HBM round trips of
+        # roped q/k per block; other impls pre-apply here.
+        rope_q = rope_k = None
         if rope_cos is not None:
-            q = apply_rope(q, rope_cos, rope_sin)
-            k = apply_rope(k, kv_rope_cos, kv_rope_sin)
+            if self.attn_impl == "flash":
+                rope_q = (rope_cos, rope_sin)
+                rope_k = (kv_rope_cos, kv_rope_sin)
+            else:
+                q = apply_rope(q, rope_cos, rope_sin)
+                k = apply_rope(k, kv_rope_cos, kv_rope_sin)
 
         interpret = jax.default_backend() != "tpu"
         out = attn_ops.attention(q, k, v, impl=self.attn_impl,
-                                 valid_len=kv_valid_len, interpret=interpret)
+                                 valid_len=kv_valid_len, interpret=interpret,
+                                 rope_q=rope_q, rope_k=rope_k)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 

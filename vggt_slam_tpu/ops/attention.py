@@ -74,18 +74,34 @@ def chunked_attention(q, k, v, valid_len=None, chunk=1024):
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-                  *, block_k, num_k_blocks, masked):
+def _rope_in_kernel(x, C, S):
+    """Rotary embedding as x*C + swap(x)*S' with pre-built full-width
+    tables (C = [cos|cos], S = [-sin|sin]); runs in f32, returns x.dtype."""
+    D2 = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    sw = jnp.concatenate([xf[:, D2:], xf[:, :D2]], axis=1)
+    return (xf * C + sw * S).astype(x.dtype)
+
+
+def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
     """Online-softmax step for one (q-block, k-block) tile.
 
     VPU-lean design (the kernel is ~half VPU-bound at D=64, where both
     matmuls cap at 50% MXU utilization): the softmax scale AND log2(e) are
-    folded into q by the caller, so the in-kernel softmax is exp2-based
-    (base change cancels in acc/l) with no per-logit scale multiply; key
-    masking runs per k-block - fully-valid blocks skip the iota/compare/
-    select passes entirely and fully-invalid blocks (bucket padding) skip
-    ALL compute, which also makes padded-frame cost ~zero.
+    folded into q (or its rope tables) by the caller, so the in-kernel
+    softmax is exp2-based (base change cancels in acc/l) with no per-logit
+    scale multiply; key masking runs per k-block - fully-valid blocks skip
+    the iota/compare/select passes entirely and fully-invalid blocks
+    (bucket padding) skip ALL compute, which also makes padded-frame cost
+    ~zero. With `has_rope`, rotary embedding is applied to the q/k tiles
+    in-kernel from tiny shared tables, instead of materializing roped q/k
+    to HBM outside (saves two full q/k round trips per block).
     """
+    if has_rope:
+        cq_ref, sq_ref, ck_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, \
+            acc_ref, m_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -100,6 +116,9 @@ def _flash_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         q = q_ref[0]                                 # (block_q, D)
         k = k_ref[0]                                 # (block_k, D)
         v = v_ref[0]                                 # (block_k, D)
+        if has_rope:
+            q = _rope_in_kernel(q, cq_ref[...], sq_ref[...])
+            k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -138,12 +157,19 @@ def _flash_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_single_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, *, masked):
+def _flash_single_kernel(vl_ref, *refs, masked, has_rope):
     """One-shot softmax for Nk <= one k-block (frame attention, camera
     trunk): no online-softmax accumulators, no m/l scratch traffic."""
+    if has_rope:
+        cq_ref, sq_ref, ck_ref, sk_ref, q_ref, k_ref, v_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
     q = q_ref[0]                                 # (block_q, D)
     k = k_ref[0]                                 # (Nk_pad, D)
     v = v_ref[0]
+    if has_rope:
+        q = _rope_in_kernel(q, cq_ref[...], sq_ref[...])
+        k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     if masked:
@@ -157,16 +183,43 @@ def _flash_single_kernel(vl_ref, q_ref, k_ref, v_ref, o_ref, *, masked):
     o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _apply_rope_wide(x, cos, sin):
+    """Rotary embedding on (..., N, D) with (N, D/2) tables - same math as
+    modules.apply_rope, used when rope is NOT fused into the kernel."""
+    D2 = x.shape[-1] // 2
+    C = jnp.concatenate([cos, cos], -1).astype(jnp.float32)
+    S = jnp.concatenate([-sin, sin], -1).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    sw = jnp.concatenate([xf[..., D2:], xf[..., :D2]], axis=-1)
+    return (xf * C + sw * S).astype(x.dtype)
+
+
+def _rope_tables(cos, sin, scale: float, n_pad: int):
+    """(N, D/2) cos/sin -> full-width (N_pad, D) f32 (C, S') tables with the
+    softmax scale folded in: rope(x) = x*C + [x2|x1]*S'."""
+    C = jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32) * scale
+    S = jnp.concatenate([-sin, sin], axis=-1).astype(jnp.float32) * scale
+    if n_pad:
+        C = jnp.pad(C, ((0, n_pad), (0, 0)))
+        S = jnp.pad(S, ((0, n_pad), (0, 0)))
+    return C, S
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret"),
 )
-def _flash_call(q, k, v, valid_len, block_q, block_k, interpret):
+def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
+                rope_q=None, rope_k=None):
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
-    # Fold softmax scale and log2(e) into q so the kernel runs an exp2-based
-    # online softmax with zero per-logit scaling work. One rounding of q
-    # (bf16) - same order as the bf16 storage error already accepted.
-    q = (q.astype(jnp.float32) * (math.log2(math.e) / math.sqrt(D))).astype(q.dtype)
+    has_rope = rope_q is not None
+    # Fold softmax scale and log2(e) into q (or into its rope tables) so the
+    # kernel runs an exp2-based online softmax with zero per-logit scaling
+    # work. One rounding of q (bf16) - same order as the bf16 storage error
+    # already accepted.
+    c_scale = math.log2(math.e) / math.sqrt(D)
+    if not has_rope:
+        q = (q.astype(jnp.float32) * c_scale).astype(q.dtype)
 
     pad_q = (-Nq) % block_q
     pad_k = (-Nk) % block_k
@@ -187,12 +240,26 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret):
     else:
         vl = jnp.minimum(jnp.asarray(valid_len, jnp.int32), Nk).reshape(1)
 
+    rope_ops = []
+    rope_specs2 = []
+    rope_specs3 = []
+    if has_rope:
+        Cq, Sq = _rope_tables(*rope_q, c_scale, pad_q)
+        Ck, Sk = _rope_tables(*rope_k, 1.0, pad_k)
+        rope_ops = [Cq, Sq, Ck, Sk]
+        q_spec2 = pl.BlockSpec((block_q, D), lambda b, i: (i, 0))
+        k_spec2 = pl.BlockSpec((block_k, D), lambda b, i: (0, 0))
+        rope_specs2 = [q_spec2, q_spec2, k_spec2, k_spec2]
+        q_spec3 = pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0))
+        k_spec3 = pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0))
+        rope_specs3 = [q_spec3, q_spec3, k_spec3, k_spec3]
+
     if nk_blocks == 1:
         out = pl.pallas_call(
-            functools.partial(_flash_single_kernel, masked=masked),
+            functools.partial(_flash_single_kernel, masked=masked,
+                              has_rope=has_rope),
             grid=(B * H, nq_blocks),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + rope_specs2 + [
                 pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
                 pl.BlockSpec((1, block_k, D), lambda b, i: (b, 0, 0)),
                 pl.BlockSpec((1, block_k, D), lambda b, i: (b, 0, 0)),
@@ -205,18 +272,17 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret):
                 # the larger tiles that win at these shapes.
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(vl, qf, kf, vf)
+        )(vl, *rope_ops, qf, kf, vf)
         return out[:, :Nq].reshape(B, H, Nq, D)
 
     kernel = functools.partial(
         _flash_kernel, block_k=block_k,
-        num_k_blocks=nk_blocks, masked=masked)
+        num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope)
 
     out = pl.pallas_call(
         kernel,
         grid=(B * H, nq_blocks, nk_blocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + rope_specs3 + [
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
@@ -235,16 +301,21 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(vl, qf, kf, vf)
+    )(vl, *rope_ops, qf, kf, vf)
     return out[:, :Nq].reshape(B, H, Nq, D)
 
 
 def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
-                    interpret=False):
+                    interpret=False, rope_q=None, rope_k=None):
     """Pallas flash attention forward. q,k,v: (B, H, N, D) -> (B, H, N, D).
 
     `valid_len` may be a traced scalar (read from SMEM in-kernel), so one
     compilation serves every actual frame count within a bucket.
+
+    `rope_q` / `rope_k`: optional (cos, sin) tables of shape (Nq|Nk, D/2) -
+    rotary embedding is then applied to the q/k tiles IN-KERNEL (identical
+    math to modules.apply_rope), which avoids materializing roped q and k
+    to HBM. Tables are shared across B and H.
     """
     Nq = q.shape[2]
     Nk = k.shape[2]
@@ -266,16 +337,32 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
             block_q = max(128, min(block_q, 256))
         block_q = min(block_q, max(128, 1 << (Nq - 1).bit_length()))
         block_k = min(block_k, max(128, 1 << (Nk - 1).bit_length()))
-    return _flash_call(q, k, v, valid_len, block_q, block_k, interpret)
+        if rope_q is not None:
+            # Multi-block path: each k block is revisited once per q block,
+            # so in-kernel rope would re-rotate k nq_blocks times - more VPU
+            # than the HBM round trip it saves (measured on v5e). Pre-apply
+            # instead; in-kernel fusion stays for the single-block path.
+            q = _apply_rope_wide(q, *rope_q)
+            k = _apply_rope_wide(k, *rope_k)
+            rope_q = rope_k = None
+    return _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
+                       rope_q=rope_q, rope_k=rope_k)
 
 
 def attention(q, k, v, impl: str = "chunked", valid_len=None,
-              interpret: bool = False):
-    """Dispatch by implementation name. See module docstring."""
+              interpret: bool = False, rope_q=None, rope_k=None):
+    """Dispatch by implementation name. See module docstring.
+
+    Only "flash" consumes rope_q/rope_k (in-kernel rotary); callers using
+    other impls must pre-apply rope and pass None."""
     if impl == "naive":
+        assert rope_q is None
         return naive_attention(q, k, v, valid_len)
     if impl == "chunked":
+        assert rope_q is None
         return chunked_attention(q, k, v, valid_len)
     if impl == "flash":
-        return flash_attention(q, k, v, valid_len=valid_len, interpret=interpret)
+        return flash_attention(q, k, v, valid_len=valid_len,
+                               interpret=interpret, rope_q=rope_q,
+                               rope_k=rope_k)
     raise ValueError(f"unknown attention impl {impl!r}")
