@@ -1,0 +1,121 @@
+"""Tests for the aux tools: undistortion, point-cloud registration,
+semantic embedder, MetaCam conversion, result-viewer helpers."""
+import os
+
+import numpy as np
+import pytest
+
+
+class TestFisheyeUndistort:
+    def test_center_ray_preserved(self):
+        from vggt_slam_tpu.tools.undistort import FisheyeModel
+        # synthetic fisheye: checkerboard distorted through the model, then
+        # undistorted - the center region must match the ideal pinhole view.
+        K = np.array([[300.0, 0, 320], [0, 300.0, 240], [0, 0, 1.0]])
+        D = np.array([-0.01, 0.02, -0.015, 0.003])
+        model = FisheyeModel(K=K, D=D, image_size=(640, 480))
+        img = np.zeros((480, 640, 3), np.uint8)
+        img[::40, :, :] = 255
+        img[:, ::40, :] = 255
+        out, K_new = model.undistort(img, out_size=256, fov_deg=60.0)
+        assert out.shape == (256, 256, 3)
+        # new intrinsics: principal point at center, f from FOV
+        assert abs(K_new[0, 2] - 128.0) < 1e-6
+        f_expected = 128.0 / np.tan(np.radians(30.0))
+        assert abs(K_new[0, 0] - f_expected) < 1e-6
+
+    def test_radtan_identity_when_undistorted(self, tmp_path):
+        import cv2
+        from vggt_slam_tpu.tools.undistort import undistort_folder_radtan
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        src = tmp_path / "in"
+        dst = tmp_path / "out"
+        src.mkdir()
+        cv2.imwrite(str(src / "0.png"), img)
+        K = np.array([[100.0, 0, 80], [0, 100.0, 60], [0, 0, 1]])
+        n = undistort_folder_radtan(str(src), str(dst), K=K, D=np.zeros(5))
+        assert n == 1
+        out = cv2.imread(str(dst / "0.png"))
+        # zero distortion -> output equals input
+        np.testing.assert_array_equal(out, img)
+
+
+class TestRegisterPointClouds:
+    def test_recovers_sim3(self):
+        from vggt_slam_tpu.tools.align_points import register_point_clouds
+        rng = np.random.default_rng(0)
+        src = rng.uniform(-1, 1, (800, 3)).astype(np.float64)
+        src[:, 2] *= 0.3  # anisotropic so principal axes are well-defined
+        src[:, 1] *= 0.7
+        ang = 0.4
+        R_gt = np.array([[np.cos(ang), -np.sin(ang), 0],
+                         [np.sin(ang), np.cos(ang), 0],
+                         [0, 0, 1.0]])
+        s_gt, t_gt = 1.6, np.array([0.5, -0.2, 0.9])
+        dst = s_gt * (R_gt @ src.T).T + t_gt
+        s, R, t = register_point_clouds(src, dst)
+        aligned = s * (R @ src.T).T + t
+        rms = np.sqrt(((aligned - dst) ** 2).sum(1).mean())
+        assert rms < 1e-2, rms
+        assert abs(s - s_gt) / s_gt < 0.02
+
+
+class TestSemanticEmbedder:
+    def test_fallback_pipeline_shapes(self):
+        from vggt_slam_tpu.semantic.embedder import SemanticEmbedder
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(100, 140, 3)).astype(np.float32)
+        emb = SemanticEmbedder(target_hw=(64, 64))
+        out = emb.embed_image(img)
+        assert out.shape[:2] == (64, 64)
+        assert out.shape[2] > 1
+        assert np.isfinite(out).all()
+        # every pixel painted (grid masks tile the image)
+        assert (np.abs(out).sum(axis=2) > 0).mean() > 0.99
+
+    def test_folder_sharding(self, tmp_path):
+        import cv2
+        from vggt_slam_tpu.semantic.embedder import SemanticEmbedder
+        src = tmp_path / "imgs"
+        src.mkdir()
+        rng = np.random.default_rng(1)
+        for i in range(4):
+            cv2.imwrite(str(src / f"{i}.png"),
+                        rng.integers(0, 255, (50, 60, 3)).astype(np.uint8))
+        emb = SemanticEmbedder(target_hw=(32, 32))
+        out = tmp_path / "emb"
+        n0 = emb.embed_folder_to_npz(str(src), str(out), shard_index=0,
+                                     num_shards=2)
+        n1 = emb.embed_folder_to_npz(str(src), str(out), shard_index=1,
+                                     num_shards=2)
+        assert n0 == 2 and n1 == 2
+        files = sorted(os.listdir(out))
+        assert len(files) == 4
+        d = np.load(out / files[0])
+        assert d["embedding"].shape[:2] == (32, 32)
+
+
+class TestMetacam:
+    def test_process_point_cloud_zup(self):
+        from vggt_slam_tpu.tools.metacam import process_point_cloud
+        pts = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float64)
+        colors = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+        out_pts, out_colors = process_point_cloud(pts, colors,
+                                                  rotate_to_zup=True)
+        assert out_pts.shape == (2, 3)
+        assert out_colors.shape == (2, 3)
+        # rotation preserves norms
+        np.testing.assert_allclose(np.linalg.norm(out_pts, axis=1),
+                                   np.linalg.norm(pts, axis=1), atol=1e-12)
+
+
+class TestVisualizeResults:
+    def test_percentile_bbox_crop(self):
+        from vggt_slam_tpu.tools.visualize_results import percentile_bbox_crop
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(1000, 3)).astype(np.float32)
+        pts[0] = [100, 100, 100]  # outlier
+        out, _ = percentile_bbox_crop(pts, None, 0.5, 99.5)
+        assert out.shape[0] < 1000
+        assert np.abs(out).max() < 50
