@@ -49,6 +49,28 @@ class TestShardedInference:
                                    rtol=2e-2, atol=2e-3)
 
 
+class TestShardedBucketedModelFn:
+    def test_matches_single_device_bucketed(self, setup, cpu_devices):
+        from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
+        from vggt_slam_tpu.parallel.infer import make_sharded_bucketed_model_fn
+        cfg, params = setup
+        mesh = make_mesh(cpu_devices)  # dp=4 -> bucket 5 rounds up to 8
+        model = VGGT(cfg)
+        fn_ref = make_bucketed_model_fn(model, params, bucket_size=5)
+        fn_sh = make_sharded_bucketed_model_fn(model, params, bucket_size=5,
+                                               mesh=mesh)
+        rng = np.random.default_rng(7)
+        for S in (3, 5):
+            imgs = rng.uniform(size=(S, 3, 56, 70)).astype(np.float32)
+            a = fn_ref(imgs)
+            b = fn_sh(imgs)
+            assert b["pose_enc"].shape == (S, 9)
+            np.testing.assert_allclose(b["pose_enc"], a["pose_enc"],
+                                       atol=2e-3, err_msg=f"S={S}")
+            np.testing.assert_allclose(b["depth"], a["depth"],
+                                       rtol=2e-2, atol=2e-3)
+
+
 class TestShardedTraining:
     def test_loss_decreases(self, setup, cpu_devices):
         cfg, params = setup

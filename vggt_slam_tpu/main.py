@@ -60,6 +60,10 @@ parser.add_argument("--profile_dir", type=str, default=None,
 parser.add_argument("--no_pipeline", action="store_true",
                     help="disable the dispatch-ahead pipeline (serial "
                          "reference flow: forward, integrate, repeat)")
+parser.add_argument("--shard", action="store_true",
+                    help="run the VGGT forward sharded over ALL visible "
+                         "devices on a (dp,tp) mesh (frames over dp, "
+                         "Megatron TP on qkv/mlp); single-device otherwise")
 
 
 def build_model_fn(args):
@@ -97,11 +101,15 @@ def build_model_fn(args):
     # per-submap forward (including the last partial one) reuses one
     # compiled program. In pipelined mode the model_fn returns device arrays
     # (dispatch only); the solver materializes them at integration time.
-    from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
     bucket = args.submap_size + args.overlapping_window_size + args.max_loops
-    return make_bucketed_model_fn(
-        model, params, bucket,
-        as_numpy=getattr(args, "no_pipeline", True))
+    as_numpy = getattr(args, "no_pipeline", True)
+    if getattr(args, "shard", False):
+        from vggt_slam_tpu.parallel.infer import make_sharded_bucketed_model_fn
+        print(f"Sharding the forward over {jax.device_count()} devices")
+        return make_sharded_bucketed_model_fn(model, params, bucket,
+                                              as_numpy=as_numpy)
+    from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
+    return make_bucketed_model_fn(model, params, bucket, as_numpy=as_numpy)
 
 
 def main():

@@ -37,3 +37,41 @@ def make_sharded_forward(model, params, mesh=None):
     fwd = jax.jit(model.apply, in_shardings=(p_shard, f_shard),
                   out_shardings=out_shardings)
     return fwd, params_sharded
+
+
+def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
+                                   mesh=None, as_numpy: bool = True):
+    """Sharded counterpart of models.vggt.model.make_bucketed_model_fn:
+    a prediction callable that pads every submap batch to a fixed bucket
+    (rounded up so the frame axis divides the dp mesh axis), passes a traced
+    `valid_frames`, and runs the forward sharded over the ("dp","tp") mesh.
+    Drop-in for the SLAM solver's model_fn (main.py --shard)."""
+    import numpy as np
+    if mesh is None:
+        mesh = make_mesh()
+    dp = mesh.shape["dp"]
+    bucket = -(-bucket_size // dp) * dp
+
+    p_shard = make_param_shardings(params, mesh)
+    params_sharded = jax.device_put(params, p_shard)
+    f_shard = frame_sharding(mesh)
+    r_shard = replicated(mesh)
+    out_shardings = dict(images=f_shard, pose_enc=f_shard, depth=f_shard,
+                         depth_conf=f_shard, world_points=f_shard,
+                         world_points_conf=f_shard)
+    fwd = jax.jit(model.apply, in_shardings=(p_shard, f_shard, r_shard),
+                  out_shardings=out_shardings)
+
+    def model_fn(images):
+        images = np.asarray(images, dtype=np.float32)
+        S = images.shape[0]
+        padded_len = bucket if S <= bucket else -(-S // dp) * dp
+        pad = np.zeros((padded_len - S,) + images.shape[1:], np.float32)
+        padded = jnp.asarray(np.concatenate([images, pad], axis=0))
+        out = fwd(params_sharded, padded, jnp.int32(S))
+        if as_numpy:
+            return {k: np.asarray(v[:S]) for k, v in out.items()
+                    if k != "images"}
+        return {k: v[:S] for k, v in out.items() if k != "images"}
+
+    return model_fn
