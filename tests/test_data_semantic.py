@@ -157,6 +157,41 @@ class TestGLB:
         assert len(gltf["meshes"]) == 2  # points + lines
 
 
+class TestTorchConversion:
+    def test_synthetic_torch_dict_roundtrip(self):
+        """Build a torch-style state dict named via the converter's own
+        mapping, convert it, and require a 100% fill with exact values -
+        locks the name mapping and the OIHW/out-in transposes."""
+        from vggt_slam_tpu.models.vggt.config import VGGTConfig
+        from vggt_slam_tpu.models.vggt.model import init_params
+        from vggt_slam_tpu.models.vggt import convert
+
+        cfg = VGGTConfig.tiny()
+        params = init_params(cfg, jax.random.PRNGKey(0), 1, (56, 70))
+
+        rng = np.random.default_rng(0)
+        flat = convert._flatten(params)
+        torch_sd = {}
+        for path, arr in flat.items():
+            name = convert._torch_name_candidates(path)[0]
+            val = rng.normal(size=arr.shape).astype(np.float32)
+            if val.ndim == 4:            # flax HWIO -> torch OIHW
+                torch_sd[name] = val.transpose(3, 2, 0, 1)
+            elif val.ndim == 2:          # flax (in,out) -> torch (out,in)
+                torch_sd[name] = val.T
+            else:
+                torch_sd[name] = val
+            flat[path] = val             # expected value after conversion
+
+        out, report = convert.convert_torch_state_dict(torch_sd, params)
+        assert report["unmatched_flax"] == []
+        assert report["unused_torch"] == []
+        out_flat = convert._flatten(out)
+        for path, expected in flat.items():
+            np.testing.assert_allclose(out_flat[path], expected, atol=1e-6,
+                                       err_msg=path)
+
+
 class TestConvertCheckpoint:
     def test_save_load_roundtrip(self, tmp_path):
         from vggt_slam_tpu.models.vggt.config import VGGTConfig
