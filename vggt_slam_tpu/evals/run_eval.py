@@ -55,6 +55,10 @@ def run_sequence(seq_dir: str, args, trial: int, log_path: str) -> dict:
         cmd += ["--checkpoint", args.checkpoint]
     if args.downsample_factor > 1:
         cmd += ["--downsample_factor", str(args.downsample_factor)]
+    if args.model_size != "1b":
+        cmd += ["--model_size", args.model_size]
+    if args.global_kv_stride != 1:
+        cmd += ["--global_kv_stride", str(args.global_kv_stride)]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0
@@ -89,6 +93,8 @@ def main():
     p.add_argument("--downsample_factor", type=int, default=1)
     p.add_argument("--use_sim3", action="store_true")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--model_size", default="1b", choices=["1b", "tiny"])
+    p.add_argument("--global_kv_stride", type=int, default=1)
     p.add_argument("--max_assoc_diff", type=float, default=0.02)
     p.add_argument("--out", default="eval_results.csv")
     args = p.parse_args()

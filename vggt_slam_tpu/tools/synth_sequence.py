@@ -52,8 +52,15 @@ def camera_path(n_frames: int, span_x: float, span_y: float,
 
 def generate_sequence(out_dir: str, n_frames: int = 60,
                       size: tuple[int, int] = (640, 480), loop: bool = True,
-                      seed: int = 0, step_px: float = 18.0) -> list[str]:
-    """Write {i:04d}.png frames; returns the file list."""
+                      seed: int = 0, step_px: float = 18.0,
+                      tum_layout: bool = False) -> list[str]:
+    """Write frames; returns the file list.
+
+    `tum_layout` writes a TUM-RGBD-style dataset instead of a flat folder:
+    rgb/<timestamp>.png frames plus groundtruth.txt ("t x y z qx qy qz qw",
+    identity rotations, the pan path as translation) - enough to drive the
+    run_eval harness (association + Sim3 ATE + CSV) without a real dataset.
+    """
     import cv2
 
     w, h = size
@@ -62,15 +69,26 @@ def generate_sequence(out_dir: str, n_frames: int = 60,
                        w + int(span) + 200, seed=seed)
     path = camera_path(n_frames, span_x=span * (0.5 if loop else 1.0),
                        span_y=span * 0.15, loop=loop)
-    os.makedirs(out_dir, exist_ok=True)
+    img_dir = os.path.join(out_dir, "rgb") if tum_layout else out_dir
+    os.makedirs(img_dir, exist_ok=True)
     names = []
+    t0 = 1000.0
+    gt_rows = []
     for i, (x, y) in enumerate(path):
         x0 = int(100 + x)
         y0 = int(100 + abs(y))
         frame = tex[y0:y0 + h, x0:x0 + w]
-        name = os.path.join(out_dir, f"{i:04d}.png")
+        stamp = t0 + i / 30.0
+        base = f"{stamp:.6f}.png" if tum_layout else f"{i:04d}.png"
+        name = os.path.join(img_dir, base)
         cv2.imwrite(name, frame)
         names.append(name)
+        gt_rows.append(f"{stamp:.6f} {x / 100.0:.6f} {y / 100.0:.6f} 0.0 "
+                       "0.0 0.0 0.0 1.0")
+    if tum_layout:
+        with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+            f.write("# timestamp tx ty tz qx qy qz qw\n")
+            f.write("\n".join(gt_rows) + "\n")
     return names
 
 
@@ -83,10 +101,12 @@ def main():
     p.add_argument("--no_loop", action="store_true",
                    help="straight pan instead of a loop trajectory")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tum_layout", action="store_true",
+                   help="write rgb/<timestamp>.png + groundtruth.txt")
     args = p.parse_args()
     names = generate_sequence(args.out_dir, n_frames=args.n_frames,
                               size=tuple(args.size), loop=not args.no_loop,
-                              seed=args.seed)
+                              seed=args.seed, tum_layout=args.tum_layout)
     print(f"wrote {len(names)} frames to {args.out_dir}")
 
 
