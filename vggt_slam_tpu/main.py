@@ -64,6 +64,9 @@ parser.add_argument("--shard", action="store_true",
                     help="run the VGGT forward sharded over ALL visible "
                          "devices on a (dp,tp) mesh (frames over dp, "
                          "Megatron TP on qkv/mlp); single-device otherwise")
+parser.add_argument("--timing", action="store_true",
+                    help="accumulate per-stage wall times (keyframing, "
+                         "dispatch, integrate) and print a summary")
 
 
 def build_model_fn(args):
@@ -155,6 +158,9 @@ def main():
     subset: list[str] = []
     t_start = time.time()
 
+    from vggt_slam_tpu.utils.profiling import StageTimer
+    timer = StageTimer() if args.timing else None
+
     def load_semantics(paths):
         if args.semantic_emb_dir is None:
             return None
@@ -168,13 +174,21 @@ def main():
             embs.append(np.load(emb_path)["embedding"])
         return np.stack(embs, axis=0)
 
+    import contextlib
+
+    def stage(name):
+        return timer.stage(name) if timer else contextlib.nullcontext()
+
     def integrate(predictions):
         if "outputs" in predictions:  # still a pending dispatch
-            predictions = solver.collect_predictions(predictions)
+            with stage("collect_predictions"):
+                predictions = solver.collect_predictions(predictions)
         focal_data.append(predictions["intrinsic"][:, 0, 0])
-        solver.add_points(predictions)
-        solver.graph.optimize()
-        solver.map.update_submap_homographies(solver.graph)
+        with stage("add_points"):
+            solver.add_points(predictions)
+        with stage("graph_optimize"):
+            solver.graph.optimize()
+            solver.map.update_submap_homographies(solver.graph)
         if args.vis_map:
             if len(predictions["detected_loops"]) > 0:
                 solver.update_all_submap_vis()
@@ -191,9 +205,11 @@ def main():
     pending = None
     next_id = 0
     for image_name in image_names:
-        img = cv2.imread(image_name)
-        if solver.flow_tracker.compute_disparity(img, args.min_disparity,
-                                                 args.vis_flow):
+        with stage("keyframe_gate"):
+            img = cv2.imread(image_name)
+            is_kf = solver.flow_tracker.compute_disparity(
+                img, args.min_disparity, args.vis_flow)
+        if is_kf:
             subset.append(image_name)
 
         is_last = image_name == image_names[-1]
@@ -201,17 +217,20 @@ def main():
                 (is_last and len(subset) > 1):
             semantic_embeddings = load_semantics(subset)
             if pipeline:
-                new_pending = solver.dispatch_predictions(
-                    subset, model_fn, args.max_loops,
-                    semantic_embeddings=semantic_embeddings,
-                    new_id=next_id, previous_in_map=(pending is None))
+                with stage("dispatch_predictions"):
+                    new_pending = solver.dispatch_predictions(
+                        subset, model_fn, args.max_loops,
+                        semantic_embeddings=semantic_embeddings,
+                        new_id=next_id, previous_in_map=(pending is None))
                 if pending is not None:
                     integrate(pending)
                 pending = new_pending
             else:
-                integrate(solver.run_predictions(
-                    subset, model_fn, args.max_loops,
-                    semantic_embeddings=semantic_embeddings))
+                with stage("run_predictions"):
+                    preds = solver.run_predictions(
+                        subset, model_fn, args.max_loops,
+                        semantic_embeddings=semantic_embeddings)
+                integrate(preds)
             next_id += 1
             subset = subset[-args.overlapping_window_size:]
     if pending is not None:
@@ -223,6 +242,9 @@ def main():
     print(f"Total number of loop closures in map {solver.graph.get_num_loops()}")
     print(f"Processed {n_frames} frames in {dt:.1f}s "
           f"({n_frames / dt:.2f} FPS end-to-end)")
+    if timer is not None:
+        print("Per-stage timing:")
+        print(timer.report())
 
     if args.profile_dir:
         import jax
