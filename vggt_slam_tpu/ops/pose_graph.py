@@ -173,26 +173,36 @@ def optimize(
 
     def try_lambda(carry, _):
         values, lam, err, accepted = carry
-        gg = g._replace(values=values)
-        r_bet, J_bet, r_pri, J_pri = _linearize(manifold, gg)
-        H, grad = _assemble(manifold, gg, r_bet, J_bet, r_pri, J_pri)
-        diag = jnp.diag(H)
-        H_damped = H + jnp.diag(jnp.maximum(diag, 1e-10)) * lam
-        # Cholesky with fallback to generic solve if the factorization
-        # produces NaNs (kept fully on-device).
-        L, low = jax.scipy.linalg.cho_factor(H_damped, lower=True)
-        delta = jax.scipy.linalg.cho_solve((L, low), -grad)
-        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
-        new_values = _retract_all(manifold, values, delta, g.node_mask)
-        new_err = _total_error(manifold, g._replace(values=new_values))
-        better = (new_err < err) & jnp.isfinite(new_err) & ~accepted
-        values = jnp.where(better, new_values, values)
-        err_out = jnp.where(better, new_err, err)
-        # Adapt damping only while still searching this outer iteration.
-        lam = jnp.where(better, lam / lambda_factor,
-                        jnp.where(accepted, lam, lam * lambda_factor))
-        lam = jnp.clip(lam, 1e-12, 1e10)
-        return (values, lam, err_out, accepted | better), None
+
+        def attempt(carry):
+            values, lam, err, accepted = carry
+            gg = g._replace(values=values)
+            r_bet, J_bet, r_pri, J_pri = _linearize(manifold, gg)
+            H, grad = _assemble(manifold, gg, r_bet, J_bet, r_pri, J_pri)
+            diag = jnp.diag(H)
+            H_damped = H + jnp.diag(jnp.maximum(diag, 1e-10)) * lam
+            # Cholesky with fallback to zero step if the factorization
+            # produces NaNs (kept fully on-device).
+            L, low = jax.scipy.linalg.cho_factor(H_damped, lower=True)
+            delta = jax.scipy.linalg.cho_solve((L, low), -grad)
+            delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta,
+                              jnp.zeros_like(delta))
+            new_values = _retract_all(manifold, values, delta, g.node_mask)
+            new_err = _total_error(manifold, g._replace(values=new_values))
+            better = (new_err < err) & jnp.isfinite(new_err)
+            values = jnp.where(better, new_values, values)
+            err_out = jnp.where(better, new_err, err)
+            lam_out = jnp.where(better, lam / lambda_factor,
+                                lam * lambda_factor)
+            return (values, jnp.clip(lam_out, 1e-12, 1e10), err_out,
+                    accepted | better)
+
+        # Once a try is accepted, the remaining tries of this outer
+        # iteration are no-ops; lax.cond skips their linearize + Cholesky
+        # entirely (the dominant cost in the warm-started steady state,
+        # where the first try almost always succeeds).
+        return jax.lax.cond(accepted, lambda c: c, attempt,
+                            (values, lam, err, accepted)), None
 
     def outer_body(carry):
         values, lam, err, it, _ = carry
