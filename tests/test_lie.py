@@ -163,3 +163,20 @@ class TestApplyHomography:
         for i in range(5):
             np.testing.assert_allclose(np.asarray(got[i]),
                                        np.asarray(lie.apply_homography(H[i], X)), atol=1e-9)
+
+
+class TestInv44:
+    def test_matches_linalg_inv(self):
+        rng = np.random.default_rng(0)
+        M = rng.normal(size=(64, 4, 4))
+        M += 4.0 * np.eye(4)  # well-conditioned
+        out = np.asarray(lie.inv44(jnp.asarray(M)))
+        ref = np.linalg.inv(M)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_identity_products(self):
+        rng = np.random.default_rng(1)
+        M = rng.normal(size=(8, 4, 4)) + 3.0 * np.eye(4)
+        out = np.asarray(lie.inv44(jnp.asarray(M)) @ jnp.asarray(M))
+        np.testing.assert_allclose(out, np.broadcast_to(np.eye(4), out.shape),
+                                   atol=1e-5)

@@ -298,6 +298,65 @@ def _sim3_W(xi: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def inv44(M: jax.Array, refine: int = 1) -> jax.Array:
+    """Closed-form (adjugate/cofactor) inverse of (...,4,4) matrices.
+
+    One fused elementwise computation instead of a batched LU - the
+    pose-graph residual path evaluates dozens of tiny 4x4 inverses per
+    logm, where per-op dispatch overhead of `jnp.linalg.inv` dominates on
+    TPU (25x the whole LM solve at a 256-node bucket). The raw adjugate
+    loses ~1 digit to cancellation in f32, which compounds through logm's
+    Denman-Beavers iterations and raises the LM convergence floor, so
+    `refine` Newton steps X <- X(2I - MX) (two fused matmuls each) restore
+    LU-level accuracy. Verified against jnp.linalg.inv in tests/test_lie.py.
+    """
+    m = M
+    m00, m01, m02, m03 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2], m[..., 0, 3]
+    m10, m11, m12, m13 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2], m[..., 1, 3]
+    m20, m21, m22, m23 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2], m[..., 2, 3]
+    m30, m31, m32, m33 = m[..., 3, 0], m[..., 3, 1], m[..., 3, 2], m[..., 3, 3]
+
+    s0 = m00 * m11 - m01 * m10
+    s1 = m00 * m12 - m02 * m10
+    s2 = m00 * m13 - m03 * m10
+    s3 = m01 * m12 - m02 * m11
+    s4 = m01 * m13 - m03 * m11
+    s5 = m02 * m13 - m03 * m12
+    c5 = m22 * m33 - m23 * m32
+    c4 = m21 * m33 - m23 * m31
+    c3 = m21 * m32 - m22 * m31
+    c2 = m20 * m33 - m23 * m30
+    c1 = m20 * m32 - m22 * m30
+    c0 = m20 * m31 - m21 * m30
+
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    r = 1.0 / det
+
+    b = jnp.stack([
+        (m11 * c5 - m12 * c4 + m13 * c3) * r,
+        (-m01 * c5 + m02 * c4 - m03 * c3) * r,
+        (m31 * s5 - m32 * s4 + m33 * s3) * r,
+        (-m21 * s5 + m22 * s4 - m23 * s3) * r,
+        (-m10 * c5 + m12 * c2 - m13 * c1) * r,
+        (m00 * c5 - m02 * c2 + m03 * c1) * r,
+        (-m30 * s5 + m32 * s2 - m33 * s1) * r,
+        (m20 * s5 - m22 * s2 + m23 * s1) * r,
+        (m10 * c4 - m11 * c2 + m13 * c0) * r,
+        (-m00 * c4 + m01 * c2 - m03 * c0) * r,
+        (m30 * s4 - m31 * s2 + m33 * s0) * r,
+        (-m20 * s4 + m21 * s2 - m23 * s0) * r,
+        (-m10 * c3 + m11 * c1 - m12 * c0) * r,
+        (m00 * c3 - m01 * c1 + m02 * c0) * r,
+        (-m30 * s3 + m31 * s1 - m32 * s0) * r,
+        (m20 * s3 - m21 * s1 + m22 * s0) * r,
+    ], axis=-1)
+    X = b.reshape(M.shape[:-2] + (4, 4))
+    eye2 = 2.0 * jnp.eye(4, dtype=M.dtype)
+    for _ in range(refine):
+        X = X @ (eye2 - M @ X)
+    return X
+
+
 def expm(A: jax.Array) -> jax.Array:
     """Matrix exponential via scaling-and-squaring with a fixed Taylor order.
 
@@ -331,10 +390,15 @@ def expm(A: jax.Array) -> jax.Array:
 def _sqrtm_db(A: jax.Array, iters: int = 9) -> jax.Array:
     """Denman-Beavers matrix square root (fixed iterations, 4x4-friendly)."""
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    use_closed = A.shape[-1] == 4
+
+    def inv(M):
+        return inv44(M) if use_closed else jnp.linalg.inv(M)
+
     def body(_, yz):
         Y, Z = yz
-        Yn = 0.5 * (Y + jnp.linalg.inv(Z))
-        Zn = 0.5 * (Z + jnp.linalg.inv(Y))
+        Yn = 0.5 * (Y + inv(Z))
+        Zn = 0.5 * (Z + inv(Y))
         return Yn, Zn
     Y, _ = jax.lax.fori_loop(0, iters, body, (A, eye))
     return Y
@@ -352,8 +416,12 @@ def logm(A: jax.Array, num_sqrt: int = 3, series_terms: int = 8) -> jax.Array:
     for _ in range(num_sqrt):
         out = _sqrtm_db(out)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
-    B = jnp.linalg.solve(jnp.swapaxes(out + eye, -1, -2), jnp.swapaxes(out - eye, -1, -2))
-    B = jnp.swapaxes(B, -1, -2)
+    if A.shape[-1] == 4:
+        B = (out - eye) @ inv44(out + eye)  # (A'-I) and (A'+I)^-1 commute
+    else:
+        B = jnp.linalg.solve(jnp.swapaxes(out + eye, -1, -2),
+                             jnp.swapaxes(out - eye, -1, -2))
+        B = jnp.swapaxes(B, -1, -2)
     B2 = B @ B
     acc = B / (2 * series_terms - 1)
     for k in range(series_terms - 1, 0, -1):

@@ -46,14 +46,14 @@ class GraphArrays(NamedTuple):
 def _between_residual(manifold, Xi, Xj, Z, sqrt_info, di, dj):
     Xi = Xi @ lie.manifold_exp(manifold, di)
     Xj = Xj @ lie.manifold_exp(manifold, dj)
-    rel = jnp.linalg.solve(Xi, Xj)          # X_i^-1 X_j
-    err = jnp.linalg.solve(Z, rel)          # Z^-1 (X_i^-1 X_j)
+    rel = lie.inv44(Xi) @ Xj                # X_i^-1 X_j (closed-form inv)
+    err = lie.inv44(Z) @ rel                # Z^-1 (X_i^-1 X_j)
     return sqrt_info * lie.manifold_log(manifold, err)
 
 
 def _prior_residual(manifold, X, Z, sqrt_info, d):
     X = X @ lie.manifold_exp(manifold, d)
-    err = jnp.linalg.solve(Z, X)
+    err = lie.inv44(Z) @ X
     return sqrt_info * lie.manifold_log(manifold, err)
 
 
