@@ -378,12 +378,22 @@ def expm(A: jax.Array) -> jax.Array:
         term = term @ As / k
         out = out + term
 
-    def square_once(i, val):
-        do = i < n_sq[..., 0, 0]
-        sq = val @ val
-        return jnp.where(do[..., None, None], sq, val)
+    # Early-exit squaring: LM retraction tangents are tiny, so n_sq is
+    # almost always 0-2 - a fixed 31-iteration loop would spend ~30
+    # sequential (batched-tiny) matmuls doing nothing.
+    n_active = n_sq[..., 0, 0]
 
-    out = jax.lax.fori_loop(0, 31, square_once, out)
+    def cond(state):
+        i, _ = state
+        return jnp.any(i < n_active)
+
+    def body(state):
+        i, val = state
+        do = i < n_active
+        sq = val @ val
+        return i + 1, jnp.where(do[..., None, None], sq, val)
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), out))
     return out
 
 
