@@ -88,13 +88,17 @@ class GraphMap:
         import jax.numpy as jnp
         with open(file_name, "w") as f:
             for submap in self.ordered_submaps_by_key():
-                poses = submap.get_all_poses_world(ignore_loop_closure_frames=True)
+                poses = np.asarray(submap.get_all_poses_world(
+                    ignore_loop_closure_frames=True))
                 frame_ids = submap.get_frame_ids()
                 assert len(poses) == len(frame_ids), \
                     "Number of poses and frame ids do not match"
-                for fid, pose in zip(frame_ids, poses):
+                # ONE batched device call per submap - per-pose conversion
+                # would pay the tunnel round trip for every row.
+                qs = np.asarray(lie.rotmat_to_quat(
+                    jnp.asarray(poses[:, :3, :3])))
+                for fid, pose, q in zip(frame_ids, poses, qs):
                     x, y, z = pose[0:3, 3]
-                    q = np.asarray(lie.rotmat_to_quat(jnp.asarray(pose[:3, :3])))
                     # our quat is (w,x,y,z); TUM wants (x,y,z,w)
                     row = np.array([float(fid), x, y, z, q[1], q[2], q[3], q[0]])
                     f.write(" ".join(f"{v:.8f}" for v in row) + "\n")

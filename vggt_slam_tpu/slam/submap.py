@@ -171,16 +171,20 @@ class Submap:
 
     def get_points_list_in_world_frame(self, ignore_loop_closure_frames=False):
         """Per-frame world point maps + ids + conf masks (submap.py:166-180)."""
+        end_idx = self.pointclouds.shape[0]
+        if ignore_loop_closure_frames and self.last_non_loop_frame_index is not None:
+            end_idx = min(end_idx, self.last_non_loop_frame_index + 1)
+        pts = self.pointclouds[:end_idx]
+        # ONE batched transform for all frames (a per-frame device call
+        # would pay the tunnel round trip S times at artifact-save time).
+        world_all = self._to_world(pts.reshape(-1, 3)).reshape(pts.shape)
         point_list, frame_id_list, frame_conf_mask = [], [], []
-        for index, points in enumerate(self.pointclouds):
-            world = self._to_world(points.reshape(-1, 3)).reshape(points.shape)
-            point_list.append(world)
+        for index in range(end_idx):
+            point_list.append(world_all[index])
             frame_id_list.append(self.frame_ids[index]
                                  if self.frame_ids is not None and
                                  index < len(self.frame_ids) else index)
             frame_conf_mask.append(self.conf_masks[index] >= self.conf_threshold)
-            if ignore_loop_closure_frames and index == self.last_non_loop_frame_index:
-                break
         return point_list, frame_id_list, frame_conf_mask
 
     def get_semantic_voxel_in_world_frame(self, voxel_size: float,
