@@ -48,7 +48,7 @@ def load_7scenes(seq_dir: str, stride: int = 10, max_depth: float = 4.0,
     import cv2
 
     depth_files = sorted(glob.glob(os.path.join(seq_dir, "*.depth.png")))
-    pts_all, rows = [], []
+    pts_all, c2ws, frame_ids = [], [], []
     K = vggt_resize_K(K_7SCENES)
     for i, dpath in enumerate(depth_files[::stride]):
         stem = dpath[: -len(".depth.png")]
@@ -64,11 +64,17 @@ def load_7scenes(seq_dir: str, stride: int = 10, max_depth: float = 4.0,
         pts = backproject_depth(depth, K, c2w, max_depth=max_depth,
                                 stride=point_stride)
         pts_all.append(pts)
-        frame_id = float(os.path.basename(stem).split("-")[-1])
-        from vggt_slam_tpu.ops import lie
-        import jax.numpy as jnp
-        q = np.asarray(lie.rotmat_to_quat(jnp.asarray(c2w[:3, :3])))
-        rows.append([frame_id, *c2w[:3, 3], q[1], q[2], q[3], q[0]])
+        c2ws.append(c2w)
+        frame_ids.append(float(os.path.basename(stem).split("-")[-1]))
+
+    # One batched quaternion conversion (a per-frame device call would pay
+    # the tunnel round trip for every GT frame).
+    from vggt_slam_tpu.ops import lie
+    import jax.numpy as jnp
+    c2ws = np.asarray(c2ws)
+    qs = np.asarray(lie.rotmat_to_quat(jnp.asarray(c2ws[:, :3, :3])))
+    rows = [[fid, *c2w[:3, 3], q[1], q[2], q[3], q[0]]
+            for fid, c2w, q in zip(frame_ids, c2ws, qs)]
     return np.concatenate(pts_all, axis=0), np.asarray(rows)
 
 
