@@ -100,3 +100,27 @@ class TestRansac:
             jnp.asarray(X), jnp.asarray(Y), key=jax.random.PRNGKey(2))
         H = np.asarray(H)
         np.testing.assert_allclose(H / np.abs(H[3, 3]), T_gt, atol=1e-4)
+
+
+class TestPlanarDegeneracy:
+    def test_coplanar_points_fall_back_to_identity(self):
+        # All correspondences on one plane: the 3D homography is not unique
+        # (any member of the 2D-homography family fits); the reference's
+        # null-space check falls back to identity (h_solve.py:79-93).
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-1, 1, (1, 12, 3)).astype(np.float32)
+        X[..., 2] = 0.7  # coplanar
+        Y = X + np.float32([0.1, -0.2, 0.0])  # consistent planar motion
+        H = np.asarray(homography.estimate_3d_homography(jnp.asarray(X), jnp.asarray(Y)))
+        np.testing.assert_allclose(H[0], np.eye(4), atol=1e-6)
+
+    def test_non_planar_unaffected_by_null_check(self):
+        rng = np.random.default_rng(1)
+        X = rng.uniform(-1, 1, (1, 12, 3)).astype(np.float32) + [0, 0, 3]
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.2, -0.1, 0.3]
+        Xh = np.concatenate([X, np.ones_like(X[..., :1])], axis=-1)
+        Y = (Xh @ T.T)[..., :3]
+        H = np.asarray(homography.estimate_3d_homography(jnp.asarray(X), jnp.asarray(Y)))
+        pred = np.asarray(lie.apply_homography(jnp.asarray(H), jnp.asarray(X)))
+        np.testing.assert_allclose(pred, Y, atol=1e-3)

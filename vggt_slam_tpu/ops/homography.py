@@ -54,12 +54,20 @@ def estimate_3d_homography(X_src: jax.Array, X_dst: jax.Array) -> jax.Array:
     """
     A = build_dlt_system(X_src, X_dst)  # (B, 3N, 16)
     # Null vector = right singular vector of the smallest singular value.
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    _, sv, vt = jnp.linalg.svd(A, full_matrices=True)
     h = vt[..., -1, :]  # (B, 16)
     H = h.reshape(h.shape[:-1] + (4, 4))
 
+    # Multi-dimensional null space (coplanar/degenerate geometry): the
+    # solution is not unique, reference scipy null_space returns >1 column
+    # and h_solve falls back to identity (h_solve.py:79-93). Null dim > 1
+    # iff rank < 15, i.e. the 15th-largest singular value ~ 0 - index 14
+    # covers both the minimal 15x16 sample (where it is the smallest) and
+    # overdetermined systems (second-smallest).
+    bad_null = sv[..., 14] < 1e-6 * sv[..., 0]
+
     h33 = H[..., 3, 3]
-    bad_h33 = jnp.abs(h33) < 1e-12
+    bad_h33 = (jnp.abs(h33) < 1e-12) | bad_null
     H = H / jnp.where(bad_h33, 1.0, h33)[..., None, None]
 
     det = jnp.linalg.det(H)
