@@ -110,6 +110,12 @@ def ransac_projective(
         (best_H (4,4), best_inlier_count ()) - count is mask-weighted.
     """
     n = X1.shape[0]
+    # SVD has no bf16/f16 kernels and sub-f32 precision would sink the DLT
+    # anyway; upcast low-precision point maps (the model outputs bf16) here.
+    if X1.dtype not in (jnp.float32, jnp.float64):
+        X1 = X1.astype(jnp.float32)
+    if X2.dtype != X1.dtype:
+        X2 = X2.astype(X1.dtype)
     dtype = X1.dtype
     if weights is None:
         weights = jnp.ones((n,), dtype=dtype)
