@@ -154,3 +154,19 @@ class TestUmeyama:
         np.testing.assert_allclose(float(s), sr, rtol=1e-9)
         np.testing.assert_allclose(np.asarray(R), Rr, atol=1e-9)
         np.testing.assert_allclose(np.asarray(t), tr, atol=1e-9)
+
+
+class TestNaNDepth:
+    def test_nan_depth_stays_local(self):
+        # one NaN depth pixel must not contaminate other frames/pixels
+        depth = np.ones((2, 8, 10, 1))
+        depth[0, 2, 3, 0] = np.nan
+        extr = np.tile(np.eye(4)[:3], (2, 1, 1))
+        intr = np.tile(np.array([[10.0, 0, 5], [0, 10.0, 4], [0, 0, 1.0]]),
+                       (2, 1, 1))
+        pts = np.asarray(geometry.unproject_depth_map_to_point_map(
+            jnp.asarray(depth), jnp.asarray(extr), jnp.asarray(intr)))
+        assert np.isnan(pts[0, 2, 3]).all()
+        finite_mask = np.ones((2, 8, 10), bool)
+        finite_mask[0, 2, 3] = False
+        assert np.isfinite(pts[finite_mask]).all()

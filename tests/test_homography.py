@@ -124,3 +124,18 @@ class TestPlanarDegeneracy:
         H = np.asarray(homography.estimate_3d_homography(jnp.asarray(X), jnp.asarray(Y)))
         pred = np.asarray(lie.apply_homography(jnp.asarray(H), jnp.asarray(X)))
         np.testing.assert_allclose(pred, Y, atol=1e-3)
+
+
+class TestDtypeRobustness:
+    def test_bf16_point_maps_upcast(self):
+        # the model emits bf16 point maps; the DLT SVD has no bf16 kernel
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.uniform(-1, 1, (500, 3)) + [0, 0, 3], jnp.bfloat16)
+        T = np.eye(4); T[:3, 3] = [0.2, -0.1, 0.3]
+        Xf = np.asarray(X, np.float64)
+        Y = (np.concatenate([Xf, np.ones((500, 1))], 1) @ T.T)[:, :3]
+        H, inl = homography.ransac_projective(
+            X, jnp.asarray(Y, jnp.bfloat16), None,
+            key=jax.random.PRNGKey(0), threshold=0.05)
+        assert np.isfinite(np.asarray(H, np.float32)).all()
+        assert float(inl) > 400
