@@ -120,10 +120,8 @@ def main():
                 f"traj/frame_{i}", wxyz=Tw.rotation().wxyz,
                 position=Tw.translation(), axes_length=0.05, axes_radius=0.002)
     if vm is not None:
-        if args.voxel_x_offset:
-            centers = vm.get_centers_world()
-            centers[:, 0] += args.voxel_x_offset
-        show_voxels(vm, port=args.voxel_port, keep_alive=False)
+        show_voxels(vm, port=args.voxel_port, keep_alive=False,
+                    x_offset=args.voxel_x_offset)
     print("Viser running. Press Enter to exit...")
     try:
         input()

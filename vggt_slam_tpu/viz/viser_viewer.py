@@ -86,10 +86,12 @@ def show_voxels(voxel_map, port: int = 8081, name: str = "semantic_voxels",
                 point_size: float = 0.01, color_mode: str = "pca",
                 max_voxels: int | None = 20000, query_voxel_indices=None,
                 base_color=(0.75, 0.75, 0.75), highlight_color=(1.0, 0.0, 0.0),
-                keep_alive: bool = True):
+                keep_alive: bool = True, x_offset: float = 0.0):
     """Render a SemanticVoxelMap as a viser point cloud
-    (reference semantic_voxel.py:207-312, points mode)."""
-    points = voxel_map.get_centers_world().astype(np.float32)
+    (reference semantic_voxel.py:207-312, points mode). `x_offset` shifts
+    the layer for side-by-side views (visualize_results.py:242-246)."""
+    points = voxel_map.get_centers_world().astype(np.float32).copy()
+    points[:, 0] += x_offset
     feats = voxel_map.get_features().astype(np.float32)
     orig = np.arange(points.shape[0])
     if max_voxels is not None and points.shape[0] > max_voxels:
