@@ -108,7 +108,6 @@ def evaluate_sequence(seq_dir: str, est_tum_path: str,
                                      replace=False)]
 
     # Apply the trajectory Sim(3) to the predicted cloud, then ICP refine.
-    ri_gt = gt_tum[:, 1:4]
     # recompute alignment transform exactly as ate() does
     from vggt_slam_tpu.evals.ate import associate
     ri, ei = associate(gt_tum[:, 0], est_tum[:, 0], max_diff=0.5)

@@ -149,7 +149,6 @@ def main():
     if not image_names:
         sys.exit(f"no images in {args.image_folder}")
 
-    profile_ctx = None
     if args.profile_dir:
         import jax
         jax.profiler.start_trace(args.profile_dir)

@@ -28,7 +28,6 @@ def make_sharded_forward(model, params, mesh=None):
     p_shard = make_param_shardings(params, mesh)
     params_sharded = jax.device_put(params, p_shard)
     f_shard = frame_sharding(mesh)
-    r_shard = replicated(mesh)
 
     out_shardings = dict(images=f_shard, pose_enc=f_shard, depth=f_shard,
                          depth_conf=f_shard, world_points=f_shard,

@@ -40,7 +40,6 @@ def grid_mask_generator(image_rgb: np.ndarray, grid: int = 8):
 
 def color_hash_encoder(crops: np.ndarray, dim: int = 64) -> np.ndarray:
     """Fallback crop encoder: random-projected color statistics (L2-normed)."""
-    n = crops.shape[0]
     stats = []
     for c in crops:
         mean = c.mean(axis=(1, 2))
