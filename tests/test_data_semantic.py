@@ -175,9 +175,11 @@ class TestTorchConversion:
         for path, arr in flat.items():
             name = convert._torch_name_candidates(path)[0]
             val = rng.normal(size=arr.shape).astype(np.float32)
-            if val.ndim == 4:            # flax HWIO -> torch OIHW
+            # Only kernels (torch `.weight`) are stored transposed; other
+            # arrays (tokens, pos embeddings) keep their layout.
+            if name.endswith(".weight") and val.ndim == 4:   # HWIO -> OIHW
                 torch_sd[name] = val.transpose(3, 2, 0, 1)
-            elif val.ndim == 2:          # flax (in,out) -> torch (out,in)
+            elif name.endswith(".weight") and val.ndim == 2:  # (in,out)->(out,in)
                 torch_sd[name] = val.T
             else:
                 torch_sd[name] = val
@@ -190,6 +192,50 @@ class TestTorchConversion:
         for path, expected in flat.items():
             np.testing.assert_allclose(out_flat[path], expected, atol=1e-6,
                                        err_msg=path)
+
+    def test_dinov2_pos_embed_layout(self):
+        """Real DINOv2 checkpoints store pos_embed as (1, 1+g*g, C) with a
+        CLS slot added to cls_token at forward time; the converter must
+        fold the CLS slot into cls_token and re-grid the patch slots."""
+        from vggt_slam_tpu.models.vggt import convert
+
+        C, g = 8, 2
+        rng = np.random.default_rng(1)
+        template = {"params": {"aggregator": {"patch_embed": {
+            "pos_embed": np.zeros((1, g, g, C), np.float32),
+            "cls_token": np.zeros((1, 1, C), np.float32),
+        }}}}
+        pos = rng.normal(size=(1, 1 + g * g, C)).astype(np.float32)
+        cls = rng.normal(size=(1, 1, C)).astype(np.float32)
+        torch_sd = {"aggregator.patch_embed.pos_embed": pos,
+                    "aggregator.patch_embed.cls_token": cls}
+        out, report = convert.convert_torch_state_dict(torch_sd, template)
+        assert report["unmatched_flax"] == []
+        got = out["params"]["aggregator"]["patch_embed"]
+        np.testing.assert_allclose(np.asarray(got["cls_token"]),
+                                   cls + pos[:, :1], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["pos_embed"]),
+                                   pos[:, 1:].reshape(1, g, g, C), atol=1e-6)
+
+    def test_qk_norm_params_mapped(self):
+        """Aggregator blocks carry q_norm/k_norm (released VGGT uses
+        qk_norm=True); their flax paths must map to torch names."""
+        from vggt_slam_tpu.models.vggt import convert
+        from vggt_slam_tpu.models.vggt.config import VGGTConfig
+        from vggt_slam_tpu.models.vggt.model import init_params
+
+        cfg = VGGTConfig.tiny()
+        assert cfg.agg_qk_norm
+        params = init_params(cfg, jax.random.PRNGKey(0), 1, (56, 70))
+        flat = convert._flatten(params)
+        qn = [p for p in flat if "q_norm" in p]
+        assert any("frame_block_0" in p for p in qn)
+        assert any("global_block_0" in p for p in qn)
+        # Encoder blocks must NOT have qk-norm (DINOv2 doesn't).
+        assert not any("patch_embed" in p for p in qn)
+        name = convert._torch_name_candidates(
+            "params/aggregator/frame_block_0/attn/q_norm/scale")[0]
+        assert name == "aggregator.frame_blocks.0.attn.q_norm.weight"
 
 
 class TestConvertCheckpoint:

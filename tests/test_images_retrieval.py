@@ -62,15 +62,64 @@ class TestSALAD:
         desc = model.apply(params, x)
         assert desc.shape[0] == 1
 
-    def test_sinkhorn_rows_sum_to_one(self):
-        from vggt_slam_tpu.models.retrieval import sinkhorn_log
+    def test_optimal_transport_marginals(self):
+        # SALAD assignment semantics: each patch column's mass (incl. the
+        # dropped dustbin) sums to 1 after the final column normalization,
+        # and the dustbin row absorbs ~(n - K) patches' worth of mass.
+        from vggt_slam_tpu.models.retrieval import get_matching_probs
         rng = np.random.default_rng(1)
-        scores = jnp.asarray(rng.normal(size=(50, 9)))  # 8 clusters + dustbin
-        a = sinkhorn_log(scores, iters=3)
-        full = jnp.exp(jax.nn.logsumexp(  # includes dustbin
-            scores - jax.nn.logsumexp(scores, axis=-1, keepdims=True), axis=-1))
-        # rows of (clusters+dustbin) sum to 1; cluster part is <= 1
-        assert float(a.sum(axis=-1).max()) <= 1.0 + 1e-5
+        K, n = 8, 50
+        S = jnp.asarray(rng.normal(size=(K, n)))
+        p = get_matching_probs(S, jnp.float32(1.0), num_iters=20)
+        assert p.shape == (K, n)
+        col_total_without_dustbin = np.asarray(p.sum(axis=0))
+        assert np.all(col_total_without_dustbin <= 1.0 + 1e-5)
+        # row marginals: each cluster ~1, so total cluster mass ~K of n
+        total = float(p.sum())
+        np.testing.assert_allclose(total, K, rtol=0.05)
+
+    def test_salad_converter_roundtrip(self):
+        """Torch-style dino_salad state dict (DINOv2 pos_embed layout, 1x1
+        aggregator convs, transposed linears) converts with a 100% fill."""
+        from vggt_slam_tpu.models import retrieval as R
+        from vggt_slam_tpu.models.vggt import convert as C
+
+        cfg = R.SALADConfig.tiny()
+        model = R.SALAD(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 3, cfg.input_size, cfg.input_size)))
+        rng = np.random.default_rng(3)
+        flat = C._flatten(params)
+        torch_sd = {}
+        g = cfg.input_size // cfg.patch_size
+        for path, arr in flat.items():
+            name = R._salad_name_candidates(path)[0]
+            val = rng.normal(size=arr.shape).astype(np.float32)
+            flat[path] = val
+            if name.endswith("pos_embed"):
+                # DINOv2 layout: CLS slot + flattened grid; pick a nonzero
+                # CLS slot and compensate in cls_token below.
+                cls_slot = np.full((1, 1, arr.shape[-1]), 0.25, np.float32)
+                torch_sd[name] = np.concatenate(
+                    [cls_slot, val.reshape(1, g * g, arr.shape[-1])], axis=1)
+            elif name.endswith("cls_token"):
+                torch_sd[name] = val - 0.25  # converter adds the CLS pos slot
+            elif name.endswith(".weight") and val.ndim == 4:
+                torch_sd[name] = val.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            elif name.endswith(".weight") and val.ndim == 2 and \
+                    ("cluster_features" in name or ".score." in name):
+                torch_sd[name] = val.T[:, :, None, None]    # dense -> 1x1 conv
+            elif name.endswith(".weight") and val.ndim == 2:
+                torch_sd[name] = val.T
+            else:
+                torch_sd[name] = val
+        out, report = R.convert_torch_state_dict(torch_sd, params)
+        assert report["unmatched_flax"] == []
+        assert report["unused_torch"] == []
+        out_flat = C._flatten(out)
+        for path, expected in flat.items():
+            np.testing.assert_allclose(out_flat[path], expected, atol=1e-5,
+                                       err_msg=path)
 
 
 class TestLoopQueue:

@@ -106,14 +106,16 @@ class Aggregator(nn.Module):
         for d in range(cfg.agg_depth):
             x = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
                       layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
-                      attn_impl=cfg.attn_impl, name=f"frame_block_{d}")(
+                      attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
+                      name=f"frame_block_{d}")(
                 x, cos, sin)
             frame_out = x
 
             xg = x.reshape(1, S * N, cfg.agg_dim)
             xg = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
                        layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
-                       attn_impl=cfg.attn_impl, name=f"global_block_{d}")(
+                       attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
+                       name=f"global_block_{d}")(
                 xg, cos_g, sin_g, valid_len=global_valid, kv_index=kv_index,
                 kv_valid_len=kv_valid, kv_rope_cos=cos_kv, kv_rope_sin=sin_kv)
             x = xg.reshape(S, N, cfg.agg_dim)

@@ -34,6 +34,10 @@ class VGGTConfig:
     agg_heads: int = 16
     agg_mlp_ratio: int = 4
     agg_layerscale: float = 0.01
+    # Per-head LayerNorm on q/k in the aggregator's attention (the released
+    # VGGT-1B builds its alternating blocks with qk_norm=True; the DINOv2
+    # encoder and the camera-head trunk do not use it).
+    agg_qk_norm: bool = True
     num_register_tokens: int = 4  # per-frame register tokens (+1 camera token)
     rope_base: float = 100.0
 

@@ -105,14 +105,43 @@ def _torch_name_candidates(flax_path: str) -> list[str]:
     return [p]
 
 
+def _structural_transforms(flat_t: dict) -> None:
+    """Reshape torch arrays whose LAYOUT differs from ours, in place.
+
+    DINOv2 stores `pos_embed` as (1, 1+g*g, C): one CLS position followed by
+    a flattened square patch grid, and adds slot 0 to the CLS token at
+    forward time (registers get no position). Our DinoViT keeps a (1,g,g,C)
+    grid and no CLS position parameter - so the CLS slot is FOLDED INTO
+    cls_token here and the patch slots are reshaped to the grid. Without
+    this the generic name mapping leaves both parameters at random init
+    (shapes don't match) for any real DINOv2-family checkpoint.
+    """
+    for key in list(flat_t):
+        if not key.endswith("pos_embed"):
+            continue
+        arr = flat_t[key]
+        if arr.ndim != 3 or arr.shape[0] != 1:
+            continue
+        n, C = arr.shape[1] - 1, arr.shape[2]
+        g = int(round(n ** 0.5))
+        if g * g != n:
+            continue
+        cls_key = key[: -len("pos_embed")] + "cls_token"
+        if cls_key in flat_t:
+            flat_t[cls_key] = flat_t[cls_key] + arr[:, :1]
+        flat_t[key] = arr[:, 1:].reshape(1, g, g, C)
+
+
 def convert_torch_state_dict(state_dict: dict, params_template):
     """Fill a flax VGGT param tree from a torch state dict.
 
-    Conv kernels are transposed OIHW->HWIO; linear kernels (out,in)->(in,out).
-    Returns (params, report) where report lists unmatched flax paths and
-    unused torch keys.
+    Conv kernels are transposed OIHW->HWIO; linear kernels (out,in)->(in,out);
+    DINOv2 pos_embed/cls_token layouts are re-structured first
+    (`_structural_transforms`). Returns (params, report) where report lists
+    unmatched flax paths and unused torch keys.
     """
     flat_t = {k: np.asarray(v) for k, v in state_dict.items()}
+    _structural_transforms(flat_t)
     used = set()
     unmatched = []
 
@@ -125,10 +154,14 @@ def convert_torch_state_dict(state_dict: dict, params_template):
             if cand not in flat_t:
                 continue
             arr = flat_t[cand]
-            if arr.ndim == 4 and len(shape) == 4:       # conv OIHW -> HWIO
-                arr = arr.transpose(2, 3, 1, 0)
-            elif arr.ndim == 2 and len(shape) == 2:     # linear (out,in)->(in,out)
-                arr = arr.T
+            # Only `.weight` tensors are conv/linear kernels needing the
+            # torch->flax transpose; other 4D/2D arrays (e.g. the re-gridded
+            # pos_embed from _structural_transforms) are layout-matched as is.
+            if cand.endswith(".weight"):
+                if arr.ndim == 4 and len(shape) == 4:   # conv OIHW -> HWIO
+                    arr = arr.transpose(2, 3, 1, 0)
+                elif arr.ndim == 2 and len(shape) == 2:  # (out,in)->(in,out)
+                    arr = arr.T
             if arr.shape == shape:
                 used.add(cand)
                 return jnp.asarray(arr, dtype=node.dtype)

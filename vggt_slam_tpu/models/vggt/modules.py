@@ -79,6 +79,7 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "chunked"
     qkv_bias: bool = True
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
@@ -109,6 +110,13 @@ class Attention(nn.Module):
         kv = kv.reshape(B, Nk, 2, H, Dh)
         k = jnp.swapaxes(kv[:, :, 0], 1, 2)
         v = jnp.swapaxes(kv[:, :, 1], 1, 2)
+
+        if self.qk_norm:
+            # Per-head LayerNorm over head_dim, BEFORE rotary embedding
+            # (matches the released VGGT attention: qkv -> q_norm/k_norm ->
+            # rope). f32 for stability, back to compute dtype after.
+            q = nn.LayerNorm(dtype=jnp.float32, name="q_norm")(q).astype(self.dtype)
+            k = nn.LayerNorm(dtype=jnp.float32, name="k_norm")(k).astype(self.dtype)
 
         if kv_index is None:
             kv_rope_cos, kv_rope_sin = rope_cos, rope_sin
@@ -156,6 +164,7 @@ class Block(nn.Module):
     layerscale: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "chunked"
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
@@ -168,7 +177,8 @@ class Block(nn.Module):
 
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         h = Attention(self.dim, self.num_heads, dtype=self.dtype,
-                      attn_impl=self.attn_impl, name="attn")(
+                      attn_impl=self.attn_impl, qk_norm=self.qk_norm,
+                      name="attn")(
             h, rope_cos, rope_sin, valid_len, kv_index=kv_index,
             kv_valid_len=kv_valid_len, kv_rope_cos=kv_rope_cos,
             kv_rope_sin=kv_rope_sin)

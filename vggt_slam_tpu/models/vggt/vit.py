@@ -22,10 +22,12 @@ _IMAGENET_STD = (0.229, 0.224, 0.225)
 
 class DinoViT(nn.Module):
     cfg: VGGTConfig
+    return_cls: bool = False  # also return the final CLS token (SALAD)
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> jax.Array:
-        """images: (B, 3, H, W) in [0, 1] -> patch tokens (B, h*w, enc_dim)."""
+    def __call__(self, images: jax.Array):
+        """images: (B, 3, H, W) in [0, 1] -> patch tokens (B, h*w, enc_dim),
+        or (patch_tokens, cls_token (B, enc_dim)) when `return_cls`."""
         cfg = self.cfg
         B, _, H, W = images.shape
         h, w = cfg.patch_grid(H, W)
@@ -52,16 +54,19 @@ class DinoViT(nn.Module):
 
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, cfg.enc_dim), jnp.float32)
-        reg = self.param("register_tokens", nn.initializers.normal(0.02),
-                         (1, cfg.enc_num_registers, cfg.enc_dim), jnp.float32)
-        special = jnp.concatenate(
-            [jnp.tile(cls.astype(x.dtype), (B, 1, 1)),
-             jnp.tile(reg.astype(x.dtype), (B, 1, 1))], axis=1)
-        x = jnp.concatenate([special, x], axis=1)
+        special = [jnp.tile(cls.astype(x.dtype), (B, 1, 1))]
+        if cfg.enc_num_registers:
+            reg = self.param("register_tokens", nn.initializers.normal(0.02),
+                             (1, cfg.enc_num_registers, cfg.enc_dim), jnp.float32)
+            special.append(jnp.tile(reg.astype(x.dtype), (B, 1, 1)))
+        x = jnp.concatenate(special + [x], axis=1)
 
         for i in range(cfg.enc_depth):
             x = Block(cfg.enc_dim, cfg.enc_heads, cfg.enc_mlp_ratio,
                       layerscale=cfg.enc_layerscale, dtype=cfg.dtype,
                       attn_impl=cfg.attn_impl, name=f"block_{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(cfg.dtype)
-        return x[:, 1 + cfg.enc_num_registers:]  # patch tokens only
+        patches = x[:, 1 + cfg.enc_num_registers:]
+        if self.return_cls:
+            return patches, x[:, 0]
+        return patches
