@@ -166,7 +166,10 @@ class TestTorchConversion:
         from vggt_slam_tpu.models.vggt.model import init_params
         from vggt_slam_tpu.models.vggt import convert
 
-        cfg = VGGTConfig.tiny()
+        # 4 DPT layers so every resize_layers spec (ConvTranspose x4/x2,
+        # identity, strided conv) appears in the mapping.
+        cfg = VGGTConfig.tiny(dpt_layers=(0, 1, 2, 3),
+                              dpt_out_channels=(8, 16, 16, 32))
         params = init_params(cfg, jax.random.PRNGKey(0), 1, (56, 70))
 
         rng = np.random.default_rng(0)
@@ -177,7 +180,10 @@ class TestTorchConversion:
             val = rng.normal(size=arr.shape).astype(np.float32)
             # Only kernels (torch `.weight`) are stored transposed; other
             # arrays (tokens, pos embeddings) keep their layout.
-            if name.endswith(".weight") and val.ndim == 4:   # HWIO -> OIHW
+            if name.endswith(".weight") and val.ndim == 4 and \
+                    (".resize_layers.0." in name or ".resize_layers.1." in name):
+                torch_sd[name] = val.transpose(2, 3, 0, 1)  # (k,k,i,o)->(i,o,k,k)
+            elif name.endswith(".weight") and val.ndim == 4:  # HWIO -> OIHW
                 torch_sd[name] = val.transpose(3, 2, 0, 1)
             elif name.endswith(".weight") and val.ndim == 2:  # (in,out)->(out,in)
                 torch_sd[name] = val.T

@@ -112,9 +112,12 @@ class TestBucketing:
                                dtype=jnp.float32)], axis=0)
         out_pad = VGGT(cfg).apply(params, padded, valid_frames=2)
         for k in ("pose_enc", "depth", "world_points", "depth_conf"):
+            # rtol absorbs batch-size-dependent XLA conv scheduling noise
+            # (~1e-6 relative, amplified by the expm1 point activation); a
+            # genuine padding leak shows up as O(1) absolute differences.
             np.testing.assert_allclose(
                 np.asarray(out_pad[k][:2]), np.asarray(out_ref[k]),
-                atol=1e-5, err_msg=k)
+                rtol=1e-5, atol=1e-5, err_msg=k)
 
     def test_bucketed_model_fn(self, tiny_setup):
         from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn

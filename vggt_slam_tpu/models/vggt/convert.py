@@ -91,6 +91,18 @@ def _torch_name_candidates(flax_path: str) -> list[str]:
     p = p.replace("params/depth_head/", "depth_head.")
     p = p.replace("params/point_head/", "point_head.")
     p = p.replace("block_", "blocks.")
+    # Camera head (vggt camera_head.py layout)
+    p = p.replace("/trunk_", ".trunk.")
+    p = p.replace("/modulation/", ".poseLN_modulation.1.")
+    # DPT heads (vggt dpt_head.py / Depth-Anything layout)
+    p = p.replace("/projects_", ".projects.")
+    p = p.replace("/resize_", ".resize_layers.")
+    p = re.sub(r"/layer_rn_(\d+)",
+               lambda m: f".scratch.layer{int(m.group(1)) + 1}_rn", p)
+    p = re.sub(r"/refinenet(\d+)", r".scratch.refinenet\1", p)
+    p = p.replace("/output_conv1/", ".scratch.output_conv1.")
+    p = p.replace("/output_conv2_0/", ".scratch.output_conv2.0.")
+    p = p.replace("/output_conv2_2/", ".scratch.output_conv2.2.")
     p = p.replace("/attn/qkv/", ".attn.qkv.")
     p = p.replace("/attn/proj/", ".attn.proj.")
     p = p.replace("/mlp/fc1/", ".mlp.fc1.")
@@ -158,7 +170,12 @@ def convert_torch_state_dict(state_dict: dict, params_template):
             # torch->flax transpose; other 4D/2D arrays (e.g. the re-gridded
             # pos_embed from _structural_transforms) are layout-matched as is.
             if cand.endswith(".weight"):
-                if arr.ndim == 4 and len(shape) == 4:   # conv OIHW -> HWIO
+                if arr.ndim == 4 and (".resize_layers.0." in cand or
+                                      ".resize_layers.1." in cand):
+                    # ConvTranspose2d stores (in, out, k, k); our upsample
+                    # kernel is (k, k, in, out).
+                    arr = arr.transpose(2, 3, 0, 1)
+                elif arr.ndim == 4 and len(shape) == 4:  # conv OIHW -> HWIO
                     arr = arr.transpose(2, 3, 1, 0)
                 elif arr.ndim == 2 and len(shape) == 2:  # (out,in)->(in,out)
                     arr = arr.T
