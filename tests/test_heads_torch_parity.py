@@ -85,6 +85,28 @@ class TestSameConv:
         np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+class TestUVPosEmbed:
+    def test_structure(self):
+        # Aspect-corrected grid: unit diagonal split into spans; sin block
+        # then cos block per axis, u-embedding first.
+        from vggt_slam_tpu.models.vggt.heads import uv_pos_embed, _uv_grid
+        h, w, dim = 28, 37, 64
+        grid = np.asarray(_uv_grid(w, h, w / h))
+        span = np.hypot(grid[..., 0].max(), grid[..., 1].max())
+        assert span < 1.0  # inside the unit-diagonal rectangle
+        # aspect preserved up to the (n-1)/n endpoint scaling
+        ar = (grid[..., 0].max() / ((w - 1) / w)) / \
+            (grid[..., 1].max() / ((h - 1) / h))
+        np.testing.assert_allclose(ar, w / h, rtol=1e-6)
+        emb = np.asarray(uv_pos_embed(w, h, w / h, dim))
+        assert emb.shape == (h, w, dim)
+        # u-half varies along w only; v-half along h only
+        assert np.allclose(emb[:, :, : dim // 2], emb[:1, :, : dim // 2])
+        assert np.allclose(emb[:, :, dim // 2:], emb[:, :1, dim // 2:])
+        # frequency-0 slot of each sin block is sin(pos) (monotone, small)
+        assert np.abs(emb).max() <= 1.0
+
+
 class TestAlignCornersResize:
     @pytest.mark.parametrize("in_hw,out_hw", [
         ((4, 6), (8, 12)), ((5, 7), (9, 13)), ((3, 3), (10, 11)),

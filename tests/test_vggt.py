@@ -30,14 +30,11 @@ class TestForward:
         assert out["images"].shape == (S, 3, H, W)
         for k, v in out.items():
             assert bool(jnp.all(jnp.isfinite(v))), f"non-finite in {k}"
-        # Contract guarantees: positive depth, conf >= 1, unit quaternions.
+        # Contract guarantees: positive depth, conf >= 1. The pose encoding
+        # is RAW (linear activations, matching the released camera head);
+        # quaternion normalization happens in quat_to_rotmat downstream.
         assert float(out["depth"].min()) > 0
         assert float(out["depth_conf"].min()) >= 1
-        q = out["pose_enc"][:, 3:7]
-        np.testing.assert_allclose(np.asarray(jnp.linalg.norm(q, axis=-1)), 1.0,
-                                   atol=1e-5)
-        fov = np.asarray(out["pose_enc"][:, 7:9])
-        assert np.all(fov > 0) and np.all(fov < np.pi)
 
     def test_jit_forward(self, tiny_setup):
         cfg, params = tiny_setup

@@ -2,9 +2,14 @@
 
 Camera head: per the VGGT paper, the camera tokens from the final aggregator
 depth are refined iteratively - each iteration embeds the current 9-D pose
-encoding, modulates a small self-attention trunk over the S frames with
-AdaLN (shift/scale/gate), and predicts a delta. Output encoding layout
-matches ops/geometry.py: [t(3), quat(4 wxyz), fov(2)].
+encoding (the learned `empty_pose_tokens` on the first iteration), gates an
+AdaLN modulation of the tokens WITH a residual (gate * modulate(norm(x)) + x)
+before a small self-attention trunk over the S frames, and predicts a delta;
+the first iteration's delta IS the prediction (not empty + delta). Output
+encoding layout matches ops/geometry.py: [t(3), quat(4 wxyz), fov(2)] - all
+three parts RAW (the released head's trans/quat/fov activations are linear;
+quaternions are normalized downstream in quat_to_rotmat and fov feeds
+tan(fov/2) directly in pose_encoding_to_extri_intri).
 
 DPT heads: per-depth tokens from 4 captured aggregator layers are projected
 (1x1 conv), resampled to 4 scales with LEARNED resize layers (ConvTranspose
@@ -17,11 +22,12 @@ inside each refinenet), and decoded to (S, H, W, C_out) maps. Depth head
 emits (depth, conf), point head ((x,y,z), conf); activations keep depth
 positive and conf >= 1.
 
-Known unverifiables (no access to the released checkpoint or the vggt
-package here): whether VGGT's DPT adds an input LayerNorm or a procedural
-UV positional embedding on top of the Depth-Anything structure. Neither is
-implemented; if the real state dict carries e.g. `depth_head.norm.*` keys
-the converter reports them unused - treat that as the signal to revisit.
+On top of the Depth-Anything structure, VGGT's DPT adds (both implemented):
+a single shared LayerNorm (`norm`) applied to every captured token tensor
+before its 1x1 projection, and a procedural sine/cosine UV positional
+embedding (aspect-corrected [-span, span] grid, omega_0=100, scaled by
+ratio=0.1) added after each projection conv and again after the final
+full-resolution upsample.
 """
 from __future__ import annotations
 
@@ -54,7 +60,7 @@ class CameraHead(nn.Module):
 
         empty = self.param("empty_pose_tokens", nn.initializers.zeros,
                            (1, 1, 9), jnp.float32)
-        pred = jnp.tile(empty.astype(jnp.float32), (1, S, 1))
+        pred0 = jnp.tile(empty.astype(cfg.dtype), (1, S, 1))
 
         embed = nn.Dense(dim, dtype=cfg.dtype, name="embed_pose")
         mod = nn.Dense(3 * dim, dtype=cfg.dtype, name="modulation")
@@ -64,37 +70,87 @@ class CameraHead(nn.Module):
         out_norm = nn.LayerNorm(dtype=jnp.float32, name="trunk_norm")
         head = Mlp(dim // 2, 9, dtype=cfg.dtype, name="pose_branch")
 
+        adaln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                             dtype=jnp.float32, name="adaln_norm")
+
         vl = valid_frames
+        pred = None
         for _ in range(cfg.cam_iterations):
-            m = mod(nn.silu(embed(jax.lax.stop_gradient(pred).astype(cfg.dtype))))
+            inp = pred0 if pred is None else \
+                jax.lax.stop_gradient(pred).astype(cfg.dtype)
+            m = mod(nn.silu(embed(inp)))
             shift, scale, gate = jnp.split(m, 3, axis=-1)
-            h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32,
-                             name=None)(cam).astype(cfg.dtype)
-            h = h * (1 + scale) + shift
+            # gate * modulate(adaln(x)) + x, THEN the trunk (the released
+            # camera_head's trunk_fn ordering).
+            h = gate * (adaln(cam).astype(cfg.dtype) * (1 + scale) + shift)
+            h = h + cam
             for blk in trunk:
                 h = blk(h, valid_len=vl)
-            h = out_norm(h).astype(cfg.dtype)
-            delta = head(h * (1 + gate))
-            pred = pred + delta.astype(jnp.float32)
+            delta = head(out_norm(h).astype(cfg.dtype)).astype(jnp.float32)
+            pred = delta if pred is None else pred + delta
 
-        return activate_pose(pred[0])
+        # Raw encoding: trans/quat/fov activations are linear in the
+        # released head; consumers normalize the quaternion themselves.
+        return pred[0]
 
 
-def activate_pose(enc: jax.Array) -> jax.Array:
-    """Constrain the raw encoding: normalized quaternion, fov in (0, pi)."""
-    t = enc[..., 0:3]
-    q = enc[..., 3:7]
-    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
-    fov = jnp.pi * jax.nn.sigmoid(enc[..., 7:9])
-    return jnp.concatenate([t, q, fov], axis=-1)
+def _uv_grid(w: int, h: int, aspect: float) -> jax.Array:
+    """Aspect-corrected UV grid (h, w, 2) in [-span, span].
+
+    The released DPT's create_uv_grid: the (u, v) spans are the sides of a
+    unit-diagonal rectangle with the IMAGE's aspect ratio, and endpoints
+    sit at pixel centers ((n-1)/n scaling).
+    """
+    diag = (aspect * aspect + 1.0) ** 0.5
+    span_x, span_y = aspect / diag, 1.0 / diag
+    xs = jnp.linspace(-span_x * (w - 1) / w, span_x * (w - 1) / w, w,
+                      dtype=jnp.float32)
+    ys = jnp.linspace(-span_y * (h - 1) / h, span_y * (h - 1) / h, h,
+                      dtype=jnp.float32)
+    uu = jnp.broadcast_to(xs[None, :], (h, w))
+    vv = jnp.broadcast_to(ys[:, None], (h, w))
+    return jnp.stack([uu, vv], axis=-1)
+
+
+def _sincos_embed(dim: int, pos: jax.Array, omega0: float = 100.0):
+    """1-D sine/cosine embedding (pos (M,) -> (M, dim)), omega_0 = 100."""
+    omega = jnp.arange(dim // 2, dtype=jnp.float32) / (dim / 2.0)
+    omega = 1.0 / (omega0 ** omega)
+    out = pos[:, None] * omega[None, :]
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
+
+
+def uv_pos_embed(w: int, h: int, aspect: float, dim: int) -> jax.Array:
+    """(h, w, dim) positional embedding: sincos(u) || sincos(v)."""
+    grid = _uv_grid(w, h, aspect).reshape(-1, 2)
+    emb = jnp.concatenate([_sincos_embed(dim // 2, grid[:, 0]),
+                           _sincos_embed(dim // 2, grid[:, 1])], axis=-1)
+    return emb.reshape(h, w, dim)
+
+
+def _interp_matrix(n_in: int, n_out: int) -> "np.ndarray":
+    """(n_out, n_in) align-corners bilinear weights, two nonzeros per row."""
+    import numpy as np
+    pos = np.arange(n_out, dtype=np.float64) * \
+        ((n_in - 1) / max(n_out - 1, 1))
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 2)
+    frac = pos - lo
+    A = np.zeros((n_out, n_in), np.float32)
+    A[np.arange(n_out), lo] = 1.0 - frac
+    A[np.arange(n_out), lo + 1] = frac
+    return A
 
 
 def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]):
     """Bilinear resize with align_corners=True on (S, h, w, C).
 
     torch's DPT interpolates with align_corners=True (endpoint-to-endpoint
-    mapping); jax.image.resize only offers half-pixel centers, so this
-    implements the endpoint convention directly with two 1-D gathers.
+    mapping); jax.image.resize only offers half-pixel centers. Implemented
+    as two einsums against precomputed (static-shape) interpolation
+    matrices: 2 nonzeros per output row, but the dense matmul rides the MXU
+    and measures ~4x faster than the gather formulation at the head's
+    production upsample (scripts/bench_dpt_ops.py: 7.3 vs 28.5 ms for
+    112x148->392x518 at S=33, c=128).
     """
     def axis_interp(x, size, axis):
         n = x.shape[axis]
@@ -102,15 +158,9 @@ def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]):
             return x
         if n == 1:
             return jnp.repeat(x, size, axis)
-        pos = jnp.arange(size, dtype=jnp.float32) * ((n - 1) / (size - 1)) \
-            if size > 1 else jnp.zeros((1,), jnp.float32)
-        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
-        frac = (pos - lo).astype(x.dtype)
-        a = jnp.take(x, lo, axis=axis)
-        b = jnp.take(x, lo + 1, axis=axis)
-        shape = [1] * x.ndim
-        shape[axis] = size
-        return a + (b - a) * frac.reshape(shape)
+        A = jnp.asarray(_interp_matrix(n, size), x.dtype)
+        return jnp.einsum("shwc,Hh->sHwc" if axis == 1 else "shwc,Ww->shWc",
+                          x, A)
 
     x = axis_interp(x, out_hw[0], 1)
     return axis_interp(x, out_hw[1], 2)
@@ -135,8 +185,16 @@ class _ConvTransposeUp(nn.Module):
                           (self.k, self.k, ci, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        y = jnp.einsum("shwc,abcd->shawbd", x, kern.astype(x.dtype))
-        y = y.reshape(S, h * self.k, w * self.k, self.features)
+        # lax.conv_transpose(transpose_kernel=False) convolves the
+        # zero-dilated input with the kernel as given, which lands K[k-1-r]
+        # on output phase r - the spatial flip of torch ConvTranspose2d's
+        # K[r]. Flipping the stored kernel restores torch semantics
+        # (verified in tests/test_heads_torch_parity.py); XLA's conv
+        # lowering beats the equivalent einsum+reshape
+        # (scripts/bench_dpt_ops.py).
+        y = jax.lax.conv_transpose(
+            x, kern[::-1, ::-1].astype(x.dtype), strides=(self.k, self.k),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + bias.astype(y.dtype)
 
 
@@ -187,13 +245,23 @@ class DPTHead(nn.Module):
         h, w = cfg.patch_grid(H, W)
         ns = captured["patch_start"]
         n = len(cfg.dpt_layers)
+        # ONE LayerNorm shared by every captured depth (the torch head's
+        # single self.norm module).
+        in_norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+
+        def add_pos(x):
+            pe = uv_pos_embed(x.shape[2], x.shape[1], W / H, x.shape[-1])
+            return x + (0.1 * pe[None]).astype(x.dtype)
+
         feats = []
         for li, d in enumerate(cfg.dpt_layers):
             t = captured[d][:, ns:, :]  # (S, P, 2C) patch tokens
             S = t.shape[0]
             oc = cfg.dpt_out_channels[li]
+            t = in_norm(t).astype(cfg.dtype)
             x = t.reshape(S, h, w, t.shape[-1])
             x = nn.Conv(oc, (1, 1), dtype=cfg.dtype, name=f"projects_{li}")(x)
+            x = add_pos(x)
             # Learned resize to the layer's scale. Fewer captured layers
             # (tiny config) use the TAIL of the 4-layer spec; names carry
             # the torch resize_layers index.
@@ -229,6 +297,7 @@ class DPTHead(nn.Module):
         x = nn.Conv(cfg.dpt_features // 2, (3, 3), padding="SAME",
                     dtype=cfg.dtype, name="output_conv1")(path)
         x = resize_bilinear_align_corners(x, (H, W))
+        x = add_pos(x)
         x = nn.Conv(32, (3, 3), padding="SAME", dtype=cfg.dtype,
                     name="output_conv2_0")(x)
         x = nn.relu(x)
