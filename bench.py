@@ -116,6 +116,14 @@ def main():
     sync(submap_step(params, imgs, pts_prev, weights, arrays, key))
     log(f"compile+first step: {time.time() - t0:.1f}s")
 
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        # One traced step for op-level analysis; read with
+        # `python -m vggt_slam_tpu.utils.xplane <dir>`.
+        with jax.profiler.trace(trace_dir):
+            sync(submap_step(params, imgs, pts_prev, weights, arrays, key))
+        log(f"trace written to {trace_dir}")
+
     times = []
     for i in range(4):
         t0 = time.time()

@@ -34,8 +34,9 @@ def main():
 
     tok = jnp.asarray(rng.normal(size=(S, ns + P, dim)) * 0.1, jnp.bfloat16)
     t0 = time.time()
-    params = jax.jit(head.init)(jax.random.PRNGKey(0), make_captured(tok),
-                                (H, W))
+    # mixed str/int dict keys aren't a valid jit pytree; close over the dict
+    params = jax.jit(lambda t: head.init(jax.random.PRNGKey(0),
+                                         make_captured(t), (H, W)))(tok)
     jax.block_until_ready(params)
     print(f"init: {time.time() - t0:.1f}s")
 

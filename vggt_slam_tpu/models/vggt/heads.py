@@ -281,14 +281,15 @@ class DPTHead(nn.Module):
                         name=f"layer_rn_{li}")(x)
             feats.append(x)
 
-        # Coarse-to-fine fusion; refinenet{n} consumes the deepest capture
-        # alone, each following refinenet adds the next skip and upsamples
-        # to that skip's grid (the finest doubles).
+        # Coarse-to-fine fusion; torch numbers refinenets finest-first:
+        # refinenet4 consumes the DEEPEST capture alone (li=3 -> name 4),
+        # refinenet1 the finest, each stage upsampling to the next skip's
+        # grid (the finest doubles).
         path = None
         for li in reversed(range(n)):
             out_hw = feats[li - 1].shape[1:3] if li > 0 else None
             fusion = _FeatureFusion(cfg.dpt_features, cfg.dtype,
-                                    name=f"refinenet{n - li}")
+                                    name=f"refinenet{li + 1}")
             if path is None:
                 path = fusion(feats[li], None, out_hw)
             else:
