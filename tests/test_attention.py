@@ -123,3 +123,56 @@ class TestGrad:
         gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gc, gn):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestNHDLayout:
+    """layout="nhd" ((B,N,H,D), the projection-natural layout) must agree
+    with the default bhnd path on every kernel variant."""
+
+    def _cmp(self, rng, B, H, Nq, Nk, D, bq, bk, valid_len=None, rope=False):
+        q = jnp.asarray(rng.normal(size=(B, H, Nq, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, Nk, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, Nk, D)), jnp.float32)
+        rq = rk = None
+        if rope:
+            from vggt_slam_tpu.models.vggt.modules import rope_2d_angles
+            pos_q = jnp.asarray(rng.uniform(0, 20, size=(Nq, 2)), jnp.float32)
+            pos_k = jnp.asarray(rng.uniform(0, 20, size=(Nk, 2)), jnp.float32)
+            rq = rope_2d_angles(pos_q, D, 100.0)
+            rk = rope_2d_angles(pos_k, D, 100.0)
+        ref = attn.flash_attention(q, k, v, valid_len=valid_len, block_q=bq,
+                                   block_k=bk, interpret=True,
+                                   rope_q=rq, rope_k=rk)
+        out = attn.flash_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), valid_len=valid_len, block_q=bq,
+            block_k=bk, interpret=True, rope_q=rq, rope_k=rk, layout="nhd")
+        np.testing.assert_allclose(np.asarray(jnp.swapaxes(out, 1, 2)),
+                                   np.asarray(ref), atol=2e-5)
+
+    def test_multiblock(self):
+        self._cmp(np.random.default_rng(0), 2, 3, 384, 640, 64, 128, 128)
+
+    def test_single_block(self):
+        self._cmp(np.random.default_rng(1), 1, 4, 300, 200, 64, 128, 512)
+
+    def test_masked_and_ragged(self):
+        self._cmp(np.random.default_rng(2), 1, 2, 250, 500, 64, 128, 128,
+                  valid_len=jnp.int32(333))
+
+    def test_rope_multiblock_and_single(self):
+        self._cmp(np.random.default_rng(3), 1, 2, 384, 640, 64, 128, 128,
+                  rope=True)
+        self._cmp(np.random.default_rng(4), 1, 2, 256, 200, 64, 128, 512,
+                  rope=True)
+
+    def test_dispatcher_nhd_fallbacks(self):
+        rng = np.random.default_rng(5)
+        q, k, v = make_qkv(rng, B=1, H=2, N=200, D=32)
+        ref = attn.naive_attention(q, k, v)
+        for impl in ("naive", "chunked"):
+            out = attn.attention(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                                 jnp.swapaxes(v, 1, 2), impl=impl,
+                                 layout="nhd")
+            np.testing.assert_allclose(np.asarray(jnp.swapaxes(out, 1, 2)),
+                                       np.asarray(ref), atol=2e-5)

@@ -98,18 +98,28 @@ class Attention(nn.Module):
         qkv_kernel, qkv_bias = kernel
         qkv_kernel = qkv_kernel.astype(self.dtype)
 
-        q = x @ qkv_kernel[:, :C]
+        # Separate q/k/v projections from the fused parameter: one
+        # interleaved (N,2,H,D) kv tensor would force strided slice copies
+        # when splitting; three plain dots leave each output in the (B, N,
+        # H, Dh) layout the flash kernel reads natively (no transposes).
         kv_src = x if kv_index is None else x[:, kv_index]
-        kv = kv_src @ qkv_kernel[:, C:]
+        q = x @ qkv_kernel[:, :C]
+        k = kv_src @ qkv_kernel[:, C:2 * C]
+        v = kv_src @ qkv_kernel[:, 2 * C:]
         if qkv_bias is not None:
             qkv_bias = qkv_bias.astype(self.dtype)
             q = q + qkv_bias[:C]
-            kv = kv + qkv_bias[C:]
-        Nk = kv.shape[1]
+            k = k + qkv_bias[C:2 * C]
+            v = v + qkv_bias[2 * C:]
+        # Head-major (B,H,N,Dh) for the kernel. An (B,N,H,Dh)-native kernel
+        # path exists (attention.py layout="nhd") but Mosaic currently
+        # rejects per-head blocks ((1,bq,1,D): second-to-last block dim must
+        # be divisible by 8 or equal the array dim), so the transposes stay;
+        # they measure ~0.2 ms each at S=33 global shape (near HBM bound).
+        Nk = k.shape[1]
         q = jnp.swapaxes(q.reshape(B, N, H, Dh), 1, 2)          # (B,H,N,Dh)
-        kv = kv.reshape(B, Nk, 2, H, Dh)
-        k = jnp.swapaxes(kv[:, :, 0], 1, 2)
-        v = jnp.swapaxes(kv[:, :, 1], 1, 2)
+        k = jnp.swapaxes(k.reshape(B, Nk, H, Dh), 1, 2)
+        v = jnp.swapaxes(v.reshape(B, Nk, H, Dh), 1, 2)
 
         if self.qk_norm:
             # Per-head LayerNorm over head_dim, BEFORE rotary embedding

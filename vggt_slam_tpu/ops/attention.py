@@ -83,6 +83,14 @@ def _rope_in_kernel(x, C, S):
     return (xf * C + sw * S).astype(x.dtype)
 
 
+
+def _sq(ref):
+    """Load a q/k/v tile as (block, D) from a (1, block, D) or
+    (1, block, 1, D) BlockSpec window (bhnd vs nhd layouts)."""
+    x = ref[...]
+    return x.reshape(x.shape[1], x.shape[-1])
+
+
 def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
     """Online-softmax step for one (q-block, k-block) tile.
 
@@ -113,9 +121,9 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
     def step(apply_mask):
         # Keep matmul operands in bf16: the MXU runs bf16 x bf16 -> f32 at
         # full rate, while f32 operands drop it ~8x. Softmax stats stay f32.
-        q = q_ref[0]                                 # (block_q, D)
-        k = k_ref[0]                                 # (block_k, D)
-        v = v_ref[0]                                 # (block_k, D)
+        q = _sq(q_ref)                               # (block_q, D)
+        k = _sq(k_ref)                               # (block_k, D)
+        v = _sq(v_ref)                               # (block_k, D)
         if has_rope:
             q = _rope_in_kernel(q, cq_ref[...], sq_ref[...])
             k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
@@ -154,7 +162,8 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
 
     @pl.when(j == num_k_blocks - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(o_ref.dtype)
+        o_ref[...] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+                      ).astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 def _flash_single_kernel(vl_ref, *refs, masked, has_rope):
@@ -164,9 +173,9 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope):
         cq_ref, sq_ref, ck_ref, sk_ref, q_ref, k_ref, v_ref, o_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref = refs
-    q = q_ref[0]                                 # (block_q, D)
-    k = k_ref[0]                                 # (Nk_pad, D)
-    v = v_ref[0]
+    q = _sq(q_ref)                               # (block_q, D)
+    k = _sq(k_ref)                               # (Nk_pad, D)
+    v = _sq(v_ref)
     if has_rope:
         q = _rope_in_kernel(q, cq_ref[...], sq_ref[...])
         k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
@@ -180,7 +189,8 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope):
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[...] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)\
+        .reshape(o_ref.shape)
 
 
 def _apply_rope_wide(x, cos, sin):
@@ -206,12 +216,24 @@ def _rope_tables(cos, sin, scale: float, n_pad: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret"),
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "layout"),
 )
 def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
-                rope_q=None, rope_k=None):
-    B, H, Nq, D = q.shape
-    Nk = k.shape[2]
+                rope_q=None, rope_k=None, layout="bhnd"):
+    """layout="bhnd": q/k/v are (B, H, N, D) - flattened to (B*H, N, D).
+    layout="nhd":  q/k/v are (B, N, H, D) - the PROJECTION's natural output
+    layout (reshape of (B, N, C) is free). The kernel then reads strided
+    (1, block, 1, D) tiles directly, eliminating the (B,H,N,D) transposes
+    of q, k, v AND the output that the bhnd form forces on every block
+    (~70 MB each at S=33 global attention)."""
+    if layout == "nhd":
+        B, Nq, H, D = q.shape
+        Nk = k.shape[1]
+        seq_ax = 1
+    else:
+        B, H, Nq, D = q.shape
+        Nk = k.shape[2]
+        seq_ax = 2
     has_rope = rope_q is not None
     # Fold softmax scale and log2(e) into q (or into its rope tables) so the
     # kernel runs an exp2-based online softmax with zero per-logit scaling
@@ -223,16 +245,65 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
 
     pad_q = (-Nq) % block_q
     pad_k = (-Nk) % block_k
-    qf = q.reshape(B * H, Nq, D)
-    kf = k.reshape(B * H, Nk, D)
-    vf = v.reshape(B * H, Nk, D)
-    if pad_q:
-        qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
-    if pad_k:
-        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
-    nq_blocks = qf.shape[1] // block_q
-    nk_blocks = kf.shape[1] // block_k
+
+    def pad_seq(x, n):
+        cfgpad = [(0, 0)] * x.ndim
+        cfgpad[seq_ax] = (0, n)
+        return jnp.pad(x, cfgpad) if n else x
+
+    if layout == "nhd":
+        qf, kf, vf = pad_seq(q, pad_q), pad_seq(k, pad_k), pad_seq(v, pad_k)
+
+        def q_map2(b, i):
+            return (b // H, i, b % H, 0)
+
+        def k_map2(b, i):
+            return (b // H, 0, b % H, 0)
+
+        def q_map3(b, i, j):
+            return (b // H, i, b % H, 0)
+
+        def k_map3(b, i, j):
+            return (b // H, j, b % H, 0)
+
+        def qkv_specs(bmaps):
+            q_map, k_map = bmaps
+            return [pl.BlockSpec((1, block_q, 1, D), q_map),
+                    pl.BlockSpec((1, block_k, 1, D), k_map),
+                    pl.BlockSpec((1, block_k, 1, D), k_map)]
+
+        out_shape = jax.ShapeDtypeStruct(
+            (B, qf.shape[1], H, D), q.dtype)
+        out_spec2 = pl.BlockSpec((1, block_q, 1, D), q_map2)
+        out_spec3 = pl.BlockSpec((1, block_q, 1, D), q_map3)
+
+        def unpack(out):
+            return out[:, :Nq] if pad_q else out
+    else:
+        qf = pad_seq(q, pad_q).reshape(B * H, Nq + pad_q, D)
+        kf = pad_seq(k, pad_k).reshape(B * H, Nk + pad_k, D)
+        vf = pad_seq(v, pad_k).reshape(B * H, Nk + pad_k, D)
+
+        def qkv_specs(bmaps):
+            q_map, k_map = bmaps
+            return [pl.BlockSpec((1, block_q, D), q_map),
+                    pl.BlockSpec((1, block_k, D), k_map),
+                    pl.BlockSpec((1, block_k, D), k_map)]
+
+        out_shape = jax.ShapeDtypeStruct((B * H, qf.shape[1], D), q.dtype)
+        out_spec2 = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0))
+        out_spec3 = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))
+
+        def unpack(out):
+            return out[:, :Nq].reshape(B, H, Nq, D)
+
+        q_map2 = lambda b, i: (b, i, 0)            # noqa: E731
+        k_map2 = lambda b, i: (b, 0, 0)            # noqa: E731
+        q_map3 = lambda b, i, j: (b, i, 0)         # noqa: E731
+        k_map3 = lambda b, i, j: (b, j, 0)         # noqa: E731
+
+    nq_blocks = (Nq + pad_q) // block_q
+    nk_blocks = (Nk + pad_k) // block_k
 
     masked = (valid_len is not None) or bool(pad_k)
     if valid_len is None:
@@ -247,25 +318,22 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         Cq, Sq = _rope_tables(*rope_q, c_scale, pad_q)
         Ck, Sk = _rope_tables(*rope_k, 1.0, pad_k)
         rope_ops = [Cq, Sq, Ck, Sk]
-        q_spec2 = pl.BlockSpec((block_q, D), lambda b, i: (i, 0))
-        k_spec2 = pl.BlockSpec((block_k, D), lambda b, i: (0, 0))
-        rope_specs2 = [q_spec2, q_spec2, k_spec2, k_spec2]
-        q_spec3 = pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0))
-        k_spec3 = pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0))
-        rope_specs3 = [q_spec3, q_spec3, k_spec3, k_spec3]
+        rq_spec2 = pl.BlockSpec((block_q, D), lambda b, i: (i, 0))
+        rk_spec2 = pl.BlockSpec((block_k, D), lambda b, i: (0, 0))
+        rope_specs2 = [rq_spec2, rq_spec2, rk_spec2, rk_spec2]
+        rq_spec3 = pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0))
+        rk_spec3 = pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0))
+        rope_specs3 = [rq_spec3, rq_spec3, rk_spec3, rk_spec3]
 
     if nk_blocks == 1:
         out = pl.pallas_call(
             functools.partial(_flash_single_kernel, masked=masked,
                               has_rope=has_rope),
             grid=(B * H, nq_blocks),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + rope_specs2 + [
-                pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((1, block_k, D), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((1, block_k, D), lambda b, i: (b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            out_shape=jax.ShapeDtypeStruct((B * H, qf.shape[1], D), q.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + rope_specs2 +
+            qkv_specs((q_map2, k_map2)),
+            out_specs=out_spec2,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
                 # v5e has 128MB VMEM; the default 16MB scoped limit rejects
@@ -273,7 +341,7 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(vl, *rope_ops, qf, kf, vf)
-        return out[:, :Nq].reshape(B, H, Nq, D)
+        return unpack(out)
 
     kernel = functools.partial(
         _flash_kernel, block_k=block_k,
@@ -282,13 +350,10 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     out = pl.pallas_call(
         kernel,
         grid=(B * H, nq_blocks, nk_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + rope_specs3 + [
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, qf.shape[1], D), q.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + rope_specs3 +
+        qkv_specs((q_map3, k_map3)),
+        out_specs=out_spec3,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -302,12 +367,23 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(vl, *rope_ops, qf, kf, vf)
-    return out[:, :Nq].reshape(B, H, Nq, D)
+    return unpack(out)
 
 
 def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
-                    interpret=False, rope_q=None, rope_k=None):
-    """Pallas flash attention forward. q,k,v: (B, H, N, D) -> (B, H, N, D).
+                    interpret=False, rope_q=None, rope_k=None,
+                    layout="bhnd"):
+    """Pallas flash attention forward.
+
+    layout="bhnd": q,k,v (B, H, N, D) -> (B, H, N, D).
+    layout="nhd":  q,k,v (B, N, H, D) -> (B, N, H, D) - the qkv
+    projection's natural reshape; the kernel reads strided (row, head)
+    tiles directly so no head-major transpose is ever materialized.
+    CAVEAT: Mosaic's TPU lowering currently rejects the per-head block
+    shape this needs ((1, block, 1, D): the second-to-last block dim must
+    be divisible by 8 or equal the array dim), so on real TPUs "nhd" only
+    works under interpret=True; the model uses "bhnd" with explicit
+    transposes until that restriction lifts.
 
     `valid_len` may be a traced scalar (read from SMEM in-kernel), so one
     compilation serves every actual frame count within a bucket.
@@ -317,8 +393,9 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
     math to modules.apply_rope), which avoids materializing roped q and k
     to HBM. Tables are shared across B and H.
     """
-    Nq = q.shape[2]
-    Nk = k.shape[2]
+    seq_ax = 1 if layout == "nhd" else 2
+    Nq = q.shape[seq_ax]
+    Nk = k.shape[seq_ax]
 
     def roundup(x, m):
         return -(-x // m) * m
@@ -342,27 +419,41 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
             # so in-kernel rope would re-rotate k nq_blocks times - more VPU
             # than the HBM round trip it saves (measured on v5e). Pre-apply
             # instead; in-kernel fusion stays for the single-block path.
-            q = _apply_rope_wide(q, *rope_q)
-            k = _apply_rope_wide(k, *rope_k)
+            if layout == "nhd":
+                # tables broadcast over the head axis at position 2
+                q = _apply_rope_wide(
+                    q, rope_q[0][:, None], rope_q[1][:, None])
+                k = _apply_rope_wide(
+                    k, rope_k[0][:, None], rope_k[1][:, None])
+            else:
+                q = _apply_rope_wide(q, *rope_q)
+                k = _apply_rope_wide(k, *rope_k)
             rope_q = rope_k = None
     return _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
-                       rope_q=rope_q, rope_k=rope_k)
+                       rope_q=rope_q, rope_k=rope_k, layout=layout)
 
 
 def attention(q, k, v, impl: str = "chunked", valid_len=None,
-              interpret: bool = False, rope_q=None, rope_k=None):
+              interpret: bool = False, rope_q=None, rope_k=None,
+              layout: str = "bhnd"):
     """Dispatch by implementation name. See module docstring.
 
     Only "flash" consumes rope_q/rope_k (in-kernel rotary); callers using
-    other impls must pre-apply rope and pass None."""
-    if impl == "naive":
-        assert rope_q is None
-        return naive_attention(q, k, v, valid_len)
-    if impl == "chunked":
-        assert rope_q is None
-        return chunked_attention(q, k, v, valid_len)
+    other impls must pre-apply rope and pass None. layout="nhd" ((B,N,H,D)
+    tensors) is native for "flash"; other impls transpose at the boundary
+    (they are the test/CPU fallbacks, not the TPU hot path).
+    """
     if impl == "flash":
         return flash_attention(q, k, v, valid_len=valid_len,
                                interpret=interpret, rope_q=rope_q,
-                               rope_k=rope_k)
-    raise ValueError(f"unknown attention impl {impl!r}")
+                               rope_k=rope_k, layout=layout)
+    assert rope_q is None
+    if layout == "nhd":
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+    if impl == "naive":
+        out = naive_attention(q, k, v, valid_len)
+    elif impl == "chunked":
+        out = chunked_attention(q, k, v, valid_len)
+    else:
+        raise ValueError(f"unknown attention impl {impl!r}")
+    return jnp.swapaxes(out, 1, 2) if layout == "nhd" else out
