@@ -81,10 +81,29 @@ def make_bucketed_model_fn(model: VGGT, params, bucket_size: int,
     (image decode, keyframing, integrating the previous submap) with the
     forward and materialize later - the lever behind the pipelined SLAM
     loop (main.py --pipeline).
+
+    Boundary layout: `world_points` leaves the jit CHANNEL-FIRST (key
+    `world_points_cf`, (3, S, H, W)) - a channels-minor (S, H, W, 3) exit
+    buffer tiles its size-3 minor dim up to 128 lanes (~42x physical size),
+    which wastes HBM/bandwidth and makes transfers through the axon tunnel
+    pathologically slow (measured: minutes vs ~1 s). With as_numpy=True the
+    (S, H, W, 3) numpy contract is restored via a free moveaxis VIEW; with
+    as_numpy=False the dict carries `world_points_cf` and the consumer
+    (slam/solver.collect_predictions) does the same on materialize.
     """
     import numpy as np
 
-    fwd = jax.jit(model.apply)
+    def _apply_cf(params, images, valid_frames=None):
+        out = dict(model.apply(params, images, valid_frames))
+        if "world_points" in out:
+            out["world_points_cf"] = jnp.moveaxis(
+                out.pop("world_points"), -1, 0)
+        return out
+
+    fwd = jax.jit(_apply_cf)
+
+    def _slice(k, v, S):
+        return v[:, :S] if k == "world_points_cf" else v[:S]
 
     def model_fn(images):
         images = np.asarray(images, dtype=np.float32)
@@ -98,9 +117,17 @@ def make_bucketed_model_fn(model: VGGT, params, bucket_size: int,
             # compiled program.
             out = fwd(params, padded, jnp.int32(S))
         if as_numpy:
-            return {k: np.asarray(v[:S]) for k, v in out.items()
-                    if k != "images"}
-        return {k: v[:S] for k, v in out.items() if k != "images"}
+            host = {}
+            for k, v in out.items():
+                if k == "images":
+                    continue
+                if k == "world_points_cf":
+                    host["world_points"] = np.moveaxis(
+                        np.asarray(v[:, :S]), 0, -1)
+                else:
+                    host[k] = np.asarray(v[:S])
+            return host
+        return {k: _slice(k, v, S) for k, v in out.items() if k != "images"}
 
     return model_fn
 

@@ -92,6 +92,36 @@ def unproject_depth_map_to_point_map(depth: jax.Array, extrinsic: jax.Array,
     return world
 
 
+def unproject_depth_map_to_point_map_cf(depth: jax.Array,
+                                        extrinsic: jax.Array,
+                                        intrinsic: jax.Array) -> jax.Array:
+    """Channel-FIRST unprojection: (3, S, H, W) world points.
+
+    Same math as `unproject_depth_map_to_point_map`, but the xyz axis leads
+    so the output buffer tiles on (H, W) instead of padding a size-3 minor
+    dim to the 128-lane tile (a ~42x physical blowup that also makes
+    device<->host transfers of the map pathologically slow through the
+    axon tunnel). Use this at jit output boundaries; `np.moveaxis(a, 0,
+    -1)` on the host restores the (S, H, W, 3) view for numpy consumers.
+    """
+    if depth.ndim == 4:
+        depth = depth[..., 0]
+    S, H, W = depth.shape
+    u = jnp.arange(W, dtype=depth.dtype)
+    v = jnp.arange(H, dtype=depth.dtype)
+    uu, vv = jnp.meshgrid(u, v)
+    pix = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=0)  # (3, H, W)
+
+    Kinv = jnp.linalg.inv(intrinsic)  # (S,3,3)
+    rays = jnp.einsum("sij,jhw->ishw", Kinv, pix)
+    cam_pts = rays * depth[None]  # (3,S,H,W)
+
+    R = extrinsic[..., :3, :3]
+    t = extrinsic[..., :3, 3]
+    cam_rel = cam_pts - t.T[:, :, None, None]
+    return jnp.einsum("sji,jshw->ishw", R, cam_rel)  # R^T applied per frame
+
+
 def project_points(points_w: jax.Array, extrinsic: jax.Array,
                    intrinsic: jax.Array):
     """World points (..., N, 3) -> pixel coords (..., N, 2) + depth (..., N)."""

@@ -55,10 +55,20 @@ def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
     params_sharded = jax.device_put(params, p_shard)
     f_shard = frame_sharding(mesh)
     r_shard = replicated(mesh)
+    f_shard_cf = frame_sharding(mesh, axis=1)  # (3, S, H, W): frames on ax 1
     out_shardings = dict(images=f_shard, pose_enc=f_shard, depth=f_shard,
-                         depth_conf=f_shard, world_points=f_shard,
+                         depth_conf=f_shard, world_points_cf=f_shard_cf,
                          world_points_conf=f_shard)
-    fwd = jax.jit(model.apply, in_shardings=(p_shard, f_shard, r_shard),
+
+    def _apply_cf(params, images, valid_frames):
+        out = dict(model.apply(params, images, valid_frames))
+        if "world_points" in out:
+            # channel-first exit layout, as in make_bucketed_model_fn
+            out["world_points_cf"] = jnp.moveaxis(
+                out.pop("world_points"), -1, 0)
+        return out
+
+    fwd = jax.jit(_apply_cf, in_shardings=(p_shard, f_shard, r_shard),
                   out_shardings=out_shardings)
 
     def model_fn(images):
@@ -69,8 +79,17 @@ def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
         padded = jnp.asarray(np.concatenate([images, pad], axis=0))
         out = fwd(params_sharded, padded, jnp.int32(S))
         if as_numpy:
-            return {k: np.asarray(v[:S]) for k, v in out.items()
-                    if k != "images"}
-        return {k: v[:S] for k, v in out.items() if k != "images"}
+            host = {}
+            for k, v in out.items():
+                if k == "images":
+                    continue
+                if k == "world_points_cf":
+                    host["world_points"] = np.moveaxis(
+                        np.asarray(v[:, :S]), 0, -1)
+                else:
+                    host[k] = np.asarray(v[:S])
+            return host
+        return {k: (v[:, :S] if k == "world_points_cf" else v[:S])
+                for k, v in out.items() if k != "images"}
 
     return model_fn

@@ -76,9 +76,10 @@ def make_param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def frame_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard a (S, ...) frame-major tensor over dp."""
-    return NamedSharding(mesh, P("dp"))
+def frame_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Shard a tensor whose frame axis is `axis` over dp (axis 0 for the
+    usual (S, ...) tensors; axis 1 for channel-first (3, S, H, W) maps)."""
+    return NamedSharding(mesh, P(*([None] * axis + ["dp"])))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

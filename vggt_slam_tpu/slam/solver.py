@@ -146,7 +146,15 @@ class Solver:
         """Phase 2: materialize the forward's outputs on host and decode
         camera parameters. This is where the device sync happens."""
         images = pending["images"]
-        predictions = {k: np.asarray(v) for k, v in pending["outputs"].items()}
+        predictions = {}
+        for k, v in pending["outputs"].items():
+            if k == "world_points_cf":
+                # channel-first at the jit boundary (fast transfer layout);
+                # the moveaxis VIEW restores the (S,H,W,3) numpy contract.
+                predictions["world_points"] = np.moveaxis(
+                    np.asarray(v), 0, -1)
+            else:
+                predictions[k] = np.asarray(v)
         extrinsic, intrinsic = geometry.pose_encoding_to_extri_intri(
             jnp.asarray(predictions["pose_enc"]), images.shape[-2:])
         predictions["extrinsic"] = np.asarray(extrinsic)
@@ -160,12 +168,26 @@ class Solver:
     # Registration phase
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _put_points(X):
+        """Host (N,3) cloud -> device, routed channel-first.
+
+        Uploading an (N,3) array directly tiles its size-3 minor dim to 128
+        lanes; through the axon tunnel that transfer's per-shape setup never
+        finishes (>10 min measured). A (3,N) upload is clean (unpadded) and
+        the device-side transpose back is microseconds of HBM traffic.
+        """
+        if isinstance(X, jnp.ndarray):
+            return X
+        X = np.asarray(X, dtype=np.float32)
+        return jnp.asarray(np.ascontiguousarray(X.T)).T
+
     def _ransac(self, X1, X2, weights=None):
         self._key, sub = jax.random.split(self._key)
         H, _ = ransac_projective(
-            jnp.asarray(X1, dtype=jnp.float32),
-            jnp.asarray(X2, dtype=jnp.float32),
-            None if weights is None else jnp.asarray(weights, jnp.float32),
+            self._put_points(X1), self._put_points(X2),
+            None if weights is None else jnp.asarray(
+                np.asarray(weights, np.float32)),
             key=sub)
         return np.asarray(H, dtype=np.float64)
 
@@ -180,10 +202,15 @@ class Solver:
             world_points = np.asarray(pred_dict["world_points"], np.float64)
             conf = np.asarray(pred_dict["world_points_conf"])
         else:
-            world_points = np.asarray(geometry.unproject_depth_map_to_point_map(
-                jnp.asarray(pred_dict["depth"], wide),
-                jnp.asarray(extrinsics_cam, wide),
-                jnp.asarray(intrinsics_cam, wide)))
+            # Channel-first through the jit boundary (see _put_points);
+            # moveaxis restores the (S,H,W,3) numpy view for free.
+            depth = np.asarray(pred_dict["depth"])
+            world_points = np.moveaxis(np.asarray(
+                geometry.unproject_depth_map_to_point_map_cf(
+                    jnp.asarray(depth[..., 0] if depth.ndim == 4 else depth,
+                                wide),
+                    jnp.asarray(extrinsics_cam, wide),
+                    jnp.asarray(intrinsics_cam, wide))), 0, -1)
             conf = np.asarray(pred_dict["depth_conf"])
 
         colors = (np.transpose(images, (0, 2, 3, 1)) * 255).astype(np.uint8)
