@@ -25,7 +25,7 @@ class TestForward:
         assert out["pose_enc"].shape == (S, 9)
         assert out["depth"].shape == (S, H, W, 1)
         assert out["depth_conf"].shape == (S, H, W)
-        assert out["world_points"].shape == (S, H, W, 3)
+        assert out["world_points_cf"].shape == (3, S, H, W)
         assert out["world_points_conf"].shape == (S, H, W)
         assert out["images"].shape == (S, 3, H, W)
         for k, v in out.items():
@@ -108,12 +108,15 @@ class TestBucketing:
             [imgs, jnp.asarray(rng.uniform(size=(2, 3, 56, 70)),
                                dtype=jnp.float32)], axis=0)
         out_pad = VGGT(cfg).apply(params, padded, valid_frames=2)
-        for k in ("pose_enc", "depth", "world_points", "depth_conf"):
+        for k in ("pose_enc", "depth", "world_points_cf", "depth_conf"):
+            # world_points_cf is channel-first: its frame axis is 1
+            sl = (slice(None), slice(0, 2)) if k == "world_points_cf" \
+                else slice(0, 2)
             # rtol absorbs batch-size-dependent XLA conv scheduling noise
             # (~1e-6 relative, amplified by the expm1 point activation); a
             # genuine padding leak shows up as O(1) absolute differences.
             np.testing.assert_allclose(
-                np.asarray(out_pad[k][:2]), np.asarray(out_ref[k]),
+                np.asarray(out_pad[k][sl]), np.asarray(out_ref[k]),
                 rtol=1e-5, atol=1e-5, err_msg=k)
 
     def test_bucketed_model_fn(self, tiny_setup):

@@ -233,8 +233,28 @@ class _FeatureFusion(nn.Module):
         return x
 
 
+class _Conv1x1CF(nn.Module):
+    """1x1 conv with CHANNEL-FIRST output: (S,H,W,K) -> (C,S,H,W) f32.
+
+    Parameter layout matches nn.Conv ((1,1,K,C) kernel + (C,) bias) so the
+    torch-checkpoint converter needs no special case.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        y = jnp.einsum("shwk,kc->cshw", x.astype(jnp.float32), k[0, 0])
+        return y + b[:, None, None, None]
+
+
 class DPTHead(nn.Module):
-    """Dense prediction head over captured aggregator depths."""
+    """Dense prediction head over captured aggregator depths.
+
+    Returns RAW predictions CHANNEL-FIRST: (out_channels, S, H, W) f32."""
     cfg: VGGTConfig
     out_channels: int  # e.g. 2 for depth+conf, 4 for xyz+conf
 
@@ -302,21 +322,29 @@ class DPTHead(nn.Module):
         x = nn.Conv(32, (3, 3), padding="SAME", dtype=cfg.dtype,
                     name="output_conv2_0")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32,
-                    name="output_conv2_2")(x.astype(jnp.float32))
-        return x  # (S, H, W, out_channels), raw
+        # Final 1x1 conv emitted CHANNEL-FIRST: a channels-last
+        # (S, H, W, 2..4) buffer tiles its minor dim to 128 lanes (~42x
+        # physical size - the write alone measured ~8.6 ms at S=33);
+        # (C, S, H, W) is unpadded and is also the fast boundary layout
+        # (ARCHITECTURE.md section 8). Param paths stay nn.Conv-identical
+        # for the torch converter.
+        return _Conv1x1CF(self.out_channels, name="output_conv2_2")(x)
 
 
-def activate_depth(raw: jax.Array):
-    """raw (S,H,W,2) -> depth (S,H,W,1) > 0, conf (S,H,W) >= 1."""
-    depth = jnp.exp(jnp.clip(raw[..., 0:1], -10.0, 10.0))
-    conf = 1.0 + jnp.exp(jnp.clip(raw[..., 1], -10.0, 10.0))
+def activate_depth(raw_cf: jax.Array):
+    """raw (2,S,H,W) channel-first -> depth (S,H,W,1) > 0, conf (S,H,W) >= 1.
+
+    ("exp" depth activation + "expp1" conf, the released model's choices.)
+    """
+    depth = jnp.exp(jnp.clip(raw_cf[0], -10.0, 10.0))[..., None]
+    conf = 1.0 + jnp.exp(jnp.clip(raw_cf[1], -10.0, 10.0))
     return depth, conf
 
 
-def activate_points(raw: jax.Array):
-    """raw (S,H,W,4) -> points (S,H,W,3) via sign-expm1, conf (S,H,W) >= 1."""
-    xyz = raw[..., 0:3]
+def activate_points(raw_cf: jax.Array):
+    """raw (4,S,H,W) -> points (3,S,H,W) CHANNEL-FIRST via sign-expm1
+    ("inv_log"), conf (S,H,W) >= 1."""
+    xyz = raw_cf[0:3]
     pts = jnp.sign(xyz) * jnp.expm1(jnp.clip(jnp.abs(xyz), 0.0, 10.0))
-    conf = 1.0 + jnp.exp(jnp.clip(raw[..., 3], -10.0, 10.0))
+    conf = 1.0 + jnp.exp(jnp.clip(raw_cf[3], -10.0, 10.0))
     return pts, conf

@@ -8,7 +8,11 @@ shapes match the reference's post-squeeze contract:
     pose_enc           (S, 9)
     depth              (S, H, W, 1)
     depth_conf         (S, H, W)
-    world_points       (S, H, W, 3)
+    world_points_cf    (3, S, H, W)   - CHANNEL-FIRST on device; hosts
+                                        restore (S, H, W, 3) with a free
+                                        np.moveaxis view (a channels-last
+                                        device buffer pads 3 -> 128 lanes,
+                                        ~42x - ARCHITECTURE.md section 8)
     world_points_conf  (S, H, W)
     images             (S, 3, H, W)   - the (possibly padded) inputs
 """
@@ -50,8 +54,8 @@ class VGGT(nn.Module):
         if cfg.enable_point_head:
             raw = DPTHead(cfg, out_channels=4, name="point_head")(
                 captured, (H, W))
-            pts, conf = activate_points(raw)
-            out["world_points"] = pts
+            pts_cf, conf = activate_points(raw)
+            out["world_points_cf"] = pts_cf
             out["world_points_conf"] = conf
 
         return out
@@ -82,25 +86,16 @@ def make_bucketed_model_fn(model: VGGT, params, bucket_size: int,
     forward and materialize later - the lever behind the pipelined SLAM
     loop (main.py --pipeline).
 
-    Boundary layout: `world_points` leaves the jit CHANNEL-FIRST (key
-    `world_points_cf`, (3, S, H, W)) - a channels-minor (S, H, W, 3) exit
-    buffer tiles its size-3 minor dim up to 128 lanes (~42x physical size),
-    which wastes HBM/bandwidth and makes transfers through the axon tunnel
-    pathologically slow (measured: minutes vs ~1 s). With as_numpy=True the
-    (S, H, W, 3) numpy contract is restored via a free moveaxis VIEW; with
-    as_numpy=False the dict carries `world_points_cf` and the consumer
-    (slam/solver.collect_predictions) does the same on materialize.
+    Boundary layout: the model emits `world_points_cf` (3, S, H, W)
+    channel-first (see the module docstring). With as_numpy=True the
+    (S, H, W, 3) numpy contract is restored via a free moveaxis VIEW under
+    the key `world_points`; with as_numpy=False the dict keeps
+    `world_points_cf` and the consumer (slam/solver.collect_predictions)
+    does the same on materialize.
     """
     import numpy as np
 
-    def _apply_cf(params, images, valid_frames=None):
-        out = dict(model.apply(params, images, valid_frames))
-        if "world_points" in out:
-            out["world_points_cf"] = jnp.moveaxis(
-                out.pop("world_points"), -1, 0)
-        return out
-
-    fwd = jax.jit(_apply_cf)
+    fwd = jax.jit(model.apply)
 
     def _slice(k, v, S):
         return v[:, :S] if k == "world_points_cf" else v[:S]

@@ -30,7 +30,8 @@ def make_sharded_forward(model, params, mesh=None):
     f_shard = frame_sharding(mesh)
 
     out_shardings = dict(images=f_shard, pose_enc=f_shard, depth=f_shard,
-                         depth_conf=f_shard, world_points=f_shard,
+                         depth_conf=f_shard,
+                         world_points_cf=frame_sharding(mesh, axis=1),
                          world_points_conf=f_shard)
 
     fwd = jax.jit(model.apply, in_shardings=(p_shard, f_shard),
@@ -60,15 +61,7 @@ def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
                          depth_conf=f_shard, world_points_cf=f_shard_cf,
                          world_points_conf=f_shard)
 
-    def _apply_cf(params, images, valid_frames):
-        out = dict(model.apply(params, images, valid_frames))
-        if "world_points" in out:
-            # channel-first exit layout, as in make_bucketed_model_fn
-            out["world_points_cf"] = jnp.moveaxis(
-                out.pop("world_points"), -1, 0)
-        return out
-
-    fwd = jax.jit(_apply_cf, in_shardings=(p_shard, f_shard, r_shard),
+    fwd = jax.jit(model.apply, in_shardings=(p_shard, f_shard, r_shard),
                   out_shardings=out_shardings)
 
     def model_fn(images):

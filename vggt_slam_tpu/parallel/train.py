@@ -29,7 +29,9 @@ def vggt_loss(cfg: VGGTConfig, params, batch):
         conf = out["depth_conf"]
         loss = loss + jnp.mean(conf * err - 0.2 * jnp.log(conf))
     if cfg.enable_point_head:
-        err = jnp.linalg.norm(out["world_points"] - batch["points_gt"], axis=-1)
+        err = jnp.linalg.norm(
+            jnp.moveaxis(out["world_points_cf"], 0, -1) - batch["points_gt"],
+            axis=-1)
         conf = out["world_points_conf"]
         loss = loss + jnp.mean(conf * err - 0.2 * jnp.log(conf))
     return loss
