@@ -39,6 +39,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vggt_slam_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from vggt_slam_tpu.models.vggt.config import VGGTConfig
     from vggt_slam_tpu.models.vggt.model import VGGT
     from vggt_slam_tpu.ops import geometry

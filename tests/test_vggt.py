@@ -171,3 +171,27 @@ class TestGlobalKVMerging:
                                    np.asarray(out_ref["pose_enc"]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(out_pad["depth"][:2]),
                                    np.asarray(out_ref["depth"]), atol=1e-5)
+
+
+class TestWithUnprojection:
+    def test_in_jit_unprojection_matches_geometry(self, tiny_setup):
+        from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
+        from vggt_slam_tpu.ops import geometry
+        cfg, params = tiny_setup
+        fn = make_bucketed_model_fn(VGGT(cfg), params, bucket_size=4,
+                                    with_unprojection=True)
+        imgs = np.random.default_rng(7).uniform(
+            size=(3, 3, 56, 70)).astype(np.float32)
+        out = fn(imgs)
+        assert out["extrinsic"].shape == (3, 3, 4)
+        assert out["intrinsic"].shape == (3, 3, 3)
+        assert out["unproj_points"].shape == (3, 56, 70, 3)
+        # must equal the standalone decode + unprojection
+        extr, intr = geometry.pose_encoding_to_extri_intri(
+            jnp.asarray(out["pose_enc"]), (56, 70))
+        ref = geometry.unproject_depth_map_to_point_map(
+            jnp.asarray(out["depth"]), extr, intr)
+        np.testing.assert_allclose(out["extrinsic"], np.asarray(extr),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(out["unproj_points"], np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -73,17 +73,26 @@ def build_model_fn(args):
     """Load / init VGGT and return the prediction callable + metadata."""
     import jax
     import jax.numpy as jnp
+    from vggt_slam_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from vggt_slam_tpu.models.vggt.config import VGGTConfig
     from vggt_slam_tpu.models.vggt.model import VGGT
     from vggt_slam_tpu.models.vggt.convert import load_checkpoint
 
     on_tpu = jax.default_backend() == "tpu"
     stride = getattr(args, "global_kv_stride", 1)
+    # In the default depth-unprojection mode the point head's (3,S,H,W) map
+    # is never consumed (registration unprojects from depth, reference
+    # solver.py:249-256) - skip its ~77 ms of compute and ~320 MB of
+    # per-submap readback entirely. --use_point_map re-enables it.
+    point_head = bool(getattr(args, "use_point_map", False))
     if args.model_size == "tiny":
-        cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride)
+        cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
+                              enable_point_head=point_head)
     else:
         cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
-                                 global_kv_stride=stride)
+                                 global_kv_stride=stride,
+                                 enable_point_head=point_head)
     model = VGGT(cfg)
 
     h, w = 392, 518  # recomputed per batch below; init shape is flexible
@@ -112,7 +121,8 @@ def build_model_fn(args):
         return make_sharded_bucketed_model_fn(model, params, bucket,
                                               as_numpy=as_numpy)
     from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
-    return make_bucketed_model_fn(model, params, bucket, as_numpy=as_numpy)
+    return make_bucketed_model_fn(model, params, bucket, as_numpy=as_numpy,
+                                  with_unprojection=point_head is False)
 
 
 def main():
@@ -159,6 +169,7 @@ def main():
 
     from vggt_slam_tpu.utils.profiling import StageTimer
     timer = StageTimer() if args.timing else None
+    solver.timer = timer
 
     def load_semantics(paths):
         if args.semantic_emb_dir is None:

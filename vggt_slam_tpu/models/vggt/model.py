@@ -70,7 +70,8 @@ def init_params(cfg: VGGTConfig, rng: jax.Array, sample_frames: int = 2,
 
 
 def make_bucketed_model_fn(model: VGGT, params, bucket_size: int,
-                           as_numpy: bool = True):
+                           as_numpy: bool = True,
+                           with_unprojection: bool = False):
     """Prediction callable with static-shape submap bucketing.
 
     Pads any (S, 3, H, W) batch with S <= bucket_size up to exactly
@@ -92,13 +93,35 @@ def make_bucketed_model_fn(model: VGGT, params, bucket_size: int,
     the key `world_points`; with as_numpy=False the dict keeps
     `world_points_cf` and the consumer (slam/solver.collect_predictions)
     does the same on materialize.
+
+    `with_unprojection=True` additionally decodes camera parameters and
+    depth-unprojects world points INSIDE the same compiled program
+    (`extrinsic` (S,3,4), `intrinsic` (S,3,3), `unproj_points_cf`
+    (3,S,H,W)): the SLAM registration path (reference solver.py:249-263)
+    then needs no depth round-trip and no per-submap-size recompiles -
+    padded frames produce garbage camera rows that the [:S] slice drops.
     """
     import numpy as np
 
-    fwd = jax.jit(model.apply)
+    from vggt_slam_tpu.ops import geometry
+
+    def _apply(params, images, valid_frames=None):
+        out = dict(model.apply(params, images, valid_frames))
+        if with_unprojection and "depth" in out:
+            extr, intr = geometry.pose_encoding_to_extri_intri(
+                out["pose_enc"], images.shape[-2:])
+            out["extrinsic"], out["intrinsic"] = extr, intr
+            out["unproj_points_cf"] = \
+                geometry.unproject_depth_map_to_point_map_cf(
+                    out["depth"][..., 0], extr, intr)
+        return out
+
+    fwd = jax.jit(_apply)
+
+    _CF_KEYS = ("world_points_cf", "unproj_points_cf")
 
     def _slice(k, v, S):
-        return v[:, :S] if k == "world_points_cf" else v[:S]
+        return v[:, :S] if k in _CF_KEYS else v[:S]
 
     def model_fn(images):
         images = np.asarray(images, dtype=np.float32)
@@ -116,8 +139,8 @@ def make_bucketed_model_fn(model: VGGT, params, bucket_size: int,
             for k, v in out.items():
                 if k == "images":
                     continue
-                if k == "world_points_cf":
-                    host["world_points"] = np.moveaxis(
+                if k in _CF_KEYS:
+                    host[k.replace("_cf", "")] = np.moveaxis(
                         np.asarray(v[:, :S]), 0, -1)
                 else:
                     host[k] = np.asarray(v[:S])

@@ -17,6 +17,8 @@ math (RANSAC, unprojection, pose readout, graph solve) runs on device.
 """
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,6 +59,11 @@ class Solver:
         self.vis_stride = vis_stride
         self.vis_point_size = vis_point_size
         self._key = jax.random.PRNGKey(seed)
+        self.timer = None  # optional utils.profiling.StageTimer
+
+    def _stage(self, name: str):
+        return (self.timer.stage(name) if self.timer is not None
+                else contextlib.nullcontext())
 
     # ------------------------------------------------------------------ #
     # Perception phase
@@ -139,7 +146,20 @@ class Solver:
 
         # model_fn may return device arrays (make_bucketed_model_fn with
         # as_numpy=False): this call only dispatches the forward.
-        return {"outputs": model_fn(images), "images": images,
+        outputs = model_fn(images)
+        for v in outputs.values():
+            # Enqueue device->host copies right behind the forward so the
+            # ~0.5 GB of dense maps stream back WHILE the host integrates
+            # the previous submap; collect_predictions' np.asarray then
+            # finds the data already resident. No-op for numpy outputs or
+            # runtimes without async transfer.
+            fn = getattr(v, "copy_to_host_async", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:
+                    pass
+        return {"outputs": outputs, "images": images,
                 "detected_loops": detected_loops, "submap": new_submap}
 
     def collect_predictions(self, pending: dict) -> dict:
@@ -148,17 +168,18 @@ class Solver:
         images = pending["images"]
         predictions = {}
         for k, v in pending["outputs"].items():
-            if k == "world_points_cf":
+            if k in ("world_points_cf", "unproj_points_cf"):
                 # channel-first at the jit boundary (fast transfer layout);
                 # the moveaxis VIEW restores the (S,H,W,3) numpy contract.
-                predictions["world_points"] = np.moveaxis(
+                predictions[k.replace("_cf", "")] = np.moveaxis(
                     np.asarray(v), 0, -1)
             else:
                 predictions[k] = np.asarray(v)
-        extrinsic, intrinsic = geometry.pose_encoding_to_extri_intri(
-            jnp.asarray(predictions["pose_enc"]), images.shape[-2:])
-        predictions["extrinsic"] = np.asarray(extrinsic)
-        predictions["intrinsic"] = np.asarray(intrinsic)
+        if "extrinsic" not in predictions:
+            extrinsic, intrinsic = geometry.pose_encoding_to_extri_intri(
+                jnp.asarray(predictions["pose_enc"]), images.shape[-2:])
+            predictions["extrinsic"] = np.asarray(extrinsic)
+            predictions["intrinsic"] = np.asarray(intrinsic)
         predictions["images"] = images
         predictions["detected_loops"] = pending["detected_loops"]
         predictions["submap"] = pending["submap"]
@@ -201,6 +222,11 @@ class Solver:
         if self.use_point_map:
             world_points = np.asarray(pred_dict["world_points"], np.float64)
             conf = np.asarray(pred_dict["world_points_conf"])
+        elif "unproj_points" in pred_dict:
+            # depth-unprojection already ran inside the model's compiled
+            # program (make_bucketed_model_fn with_unprojection=True)
+            world_points = pred_dict["unproj_points"]
+            conf = np.asarray(pred_dict["depth_conf"])
         else:
             # Channel-first through the jit boundary (see _put_points);
             # moveaxis restores the (S,H,W,3) numpy view for free.
@@ -253,8 +279,10 @@ class Solver:
                 world_points = world_points * scale_factor
                 cam_to_world[:, 0:3, 3] *= scale_factor
             else:
-                H_relative = self._ransac(current_pts, self.prior_pcd,
-                                          weights=good_mask.astype(np.float32))
+                with self._stage("ap_ransac"):
+                    H_relative = self._ransac(
+                        current_pts, self.prior_pcd,
+                        weights=good_mask.astype(np.float32))
 
             H_w_submap = prior_submap.get_reference_homography() @ H_relative
 
@@ -268,9 +296,10 @@ class Solver:
 
         sub.set_reference_homography(H_w_submap)
         sub.add_all_poses(cam_to_world)
-        sub.add_all_points(world_points, colors, conf,
-                           self.init_conf_threshold, intrinsics_cam)
-        sub.set_conf_masks(conf)
+        with self._stage("ap_submap_store"):
+            sub.add_all_points(world_points, colors, conf,
+                               self.init_conf_threshold, intrinsics_cam)
+            sub.set_conf_masks(conf)
 
         for index, loop in enumerate(detected_loops):
             assert loop.query_submap_id == sub.get_id()
@@ -285,7 +314,8 @@ class Solver:
                 pts_det = self.map.get_submap(loop.detected_submap_id) \
                     .get_frame_pointcloud(loop.detected_submap_frame).reshape(-1, 3)
                 pts_query = sub.get_frame_pointcloud(loop_index).reshape(-1, 3)
-                H_rel_lc = self._ransac(pts_query, pts_det)
+                with self._stage("ap_loop_ransac"):
+                    H_rel_lc = self._ransac(pts_query, pts_det)
             self.graph.add_between_factor(loop.detected_submap_id,
                                           loop.query_submap_id, H_rel_lc,
                                           self.graph.relative_noise)

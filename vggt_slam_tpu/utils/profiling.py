@@ -38,6 +38,7 @@ class StageTimer:
     def __init__(self):
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self.samples: dict[str, list] = defaultdict(list)
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_tree=None):
@@ -53,11 +54,21 @@ class StageTimer:
             dt = time.time() - t0
             self.totals[name] += dt
             self.counts[name] += 1
+            self.samples[name].append(dt)
 
     def summary(self) -> dict:
+        # min distinguishes steady-state cost from first-call jit compiles;
+        # "tail_mean_ms" averages everything after the first TWO calls
+        # (bucket growth usually compiles twice).
+        def tail_mean(xs):
+            rest = xs[2:] or xs[-1:]
+            return round(sum(rest) / len(rest) * 1e3, 2)
+
         return {name: {"total_s": round(t, 4),
                        "count": self.counts[name],
-                       "mean_ms": round(t / max(self.counts[name], 1) * 1e3, 2)}
+                       "mean_ms": round(t / max(self.counts[name], 1) * 1e3, 2),
+                       "min_ms": round(min(self.samples[name]) * 1e3, 2),
+                       "tail_mean_ms": tail_mean(self.samples[name])}
                 for name, t in sorted(self.totals.items(),
                                       key=lambda kv: -kv[1])}
 
@@ -73,3 +84,22 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+def enable_compilation_cache(path: str = "/root/.cache/jax_comp") -> None:
+    """Turn on jax's persistent compilation cache.
+
+    The SLAM pipeline's pose-graph LM recompiles at every power-of-two
+    bucket growth (~25 s each on the TPU); with the persistent cache those
+    compiles happen once per machine instead of once per run. Safe to call
+    multiple times.
+    """
+    import os
+
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # older jax: best-effort
+        print(f"[profiling] compilation cache unavailable: {e}")
