@@ -57,12 +57,18 @@ def main():
 
     on_tpu = backend == "tpu"
     stride = int(os.environ.get("BENCH_KV_STRIDE", "4"))
+    # enable_point_head=False matches the CLI's default depth-unprojection
+    # operating point: the point head's map is never consumed there
+    # (reference solver.py:249-256), so the SLAM step doesn't pay it.
+    # BENCH_POINT_HEAD=1 restores it (the --use_point_map profile).
+    point_head = os.environ.get("BENCH_POINT_HEAD", "0") == "1"
     cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
-                             global_kv_stride=stride)
-    log(f"global_kv_stride: {stride}")
+                             global_kv_stride=stride,
+                             enable_point_head=point_head)
+    log(f"global_kv_stride: {stride}; point_head: {point_head}")
     if not on_tpu:
         # CPU fallback so the bench still runs everywhere (tiny model).
-        cfg = VGGTConfig.tiny(img_size=518)
+        cfg = VGGTConfig.tiny(img_size=518, enable_point_head=point_head)
         log("CPU fallback: tiny config")
 
     model = VGGT(cfg)
