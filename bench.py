@@ -5,9 +5,10 @@ Prints ONE JSON line:
 
 Measures the amortized frames/sec of the full per-submap pipeline at the
 north-star operating point (BASELINE.md: submap size 32, TUM-like 392x518
-input, >20 FPS target on one v5e chip): VGGT-1B forward on S=33 frames
-(32 new + 1 overlap) + depth unprojection + SL(4) RANSAC registration +
-pose-graph LM step, averaged over repeated submaps. Inputs are synthetic
+input, >20 FPS target on one v5e chip): SALAD retrieval descriptors +
+VGGT-1B forward on S=33 frames (32 new + 1 overlap) + depth unprojection +
+SL(4) RANSAC registration + pose-graph LM step, averaged over repeated
+submaps. Inputs are synthetic
 (no dataset ships in this environment); the compute profile is identical
 to the real pipeline for everything except keyframing/IO, which the driver
 measures downstream of the open-source datasets.
@@ -78,9 +79,20 @@ def main():
     jax.block_until_ready(params)
     log(f"init: {time.time() - t0:.1f}s")
 
+    # SALAD retrieval descriptors run once per submap in the real loop
+    # (reference solver.py:428); include that forward for honesty.
+    from vggt_slam_tpu.models.retrieval import SALAD, SALADConfig
+    scfg = SALADConfig() if on_tpu else SALADConfig.tiny()
+    salad = SALAD(scfg)
+    salad_params = jax.jit(salad.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 3, 224, 224)))
+    salad_fwd = jax.jit(salad.apply)
+
     fwd = jax.jit(model.apply)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.uniform(size=(S, 3, H, W)), dtype=jnp.float32)
+    imgs224 = jnp.asarray(rng.uniform(size=(S, 3, 224, 224)),
+                          dtype=jnp.float32)
 
     # Registration inputs: one frame's point map vs the previous anchor.
     n_pts = H * W
@@ -101,7 +113,8 @@ def main():
     def checksum(a, b, c, d):
         return jnp.sum(a) + jnp.sum(b) + jnp.sum(c) + d
 
-    def submap_step(params, imgs, pts_prev, weights, arrays, key):
+    def submap_step(params, imgs, imgs224, pts_prev, weights, arrays, key):
+        desc = salad_fwd(salad_params, imgs224)
         out = fwd(params, imgs)
         extr, intr = geometry.pose_encoding_to_extri_intri(
             out["pose_enc"], (H, W))
@@ -110,7 +123,7 @@ def main():
         Hrel, _ = ransac_projective(pts[0].reshape(-1, 3), pts_prev, weights,
                                     key=key)
         values, err = pg_ops.optimize(arrays, manifold="sl4", max_iters=10)
-        return out["pose_enc"], Hrel, values, err
+        return out["pose_enc"] + jnp.sum(desc) * 1e-30, Hrel, values, err
 
     def sync(res):
         # axon's block_until_ready does not reliably wait; force a host
@@ -121,7 +134,7 @@ def main():
 
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    sync(submap_step(params, imgs, pts_prev, weights, arrays, key))
+    sync(submap_step(params, imgs, imgs224, pts_prev, weights, arrays, key))
     log(f"compile+first step: {time.time() - t0:.1f}s")
 
     trace_dir = os.environ.get("BENCH_TRACE_DIR")
@@ -129,13 +142,14 @@ def main():
         # One traced step for op-level analysis; read with
         # `python -m vggt_slam_tpu.utils.xplane <dir>`.
         with jax.profiler.trace(trace_dir):
-            sync(submap_step(params, imgs, pts_prev, weights, arrays, key))
+            sync(submap_step(params, imgs, imgs224, pts_prev, weights,
+                             arrays, key))
         log(f"trace written to {trace_dir}")
 
     times = []
     for i in range(4):
         t0 = time.time()
-        sync(submap_step(params, imgs, pts_prev, weights, arrays,
+        sync(submap_step(params, imgs, imgs224, pts_prev, weights, arrays,
                          jax.random.PRNGKey(i)))
         times.append(time.time() - t0)
     best = min(times)
