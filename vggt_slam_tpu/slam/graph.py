@@ -97,8 +97,15 @@ class PoseGraph:
         n = len(self._values)
         e = max(len(self._between), 1)
         p = max(len(self._priors), 1)
-        N = _next_pow2(n, 8)
-        E = _next_pow2(e, 16)
+        # Bucket floors of 64 nodes / 128 factors: every new (N, E, P)
+        # combination costs ~10 s of LM tracing (host python, per process)
+        # plus a compile the first time it appears, and small-floor buckets
+        # made a typical 10-submap run recompile 3-4 times. A 64-node dense
+        # solve is only ~30 ms slower than an 8-node one (bench: 53 ms), so
+        # one program covers runs up to 64 submaps and growth is rare
+        # beyond it.
+        N = _next_pow2(n, 64)
+        E = _next_pow2(e, 128)
         P = _next_pow2(p, 4)
         dt = self.dtype
 
