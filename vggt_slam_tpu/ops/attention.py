@@ -101,15 +101,22 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
     scale multiply; key masking runs per k-block - fully-valid blocks skip
     the iota/compare/select passes entirely and fully-invalid blocks
     (bucket padding) skip ALL compute, which also makes padded-frame cost
-    ~zero. With `has_rope`, rotary embedding is applied to the q/k tiles
-    in-kernel from tiny shared tables, instead of materializing roped q/k
-    to HBM outside (saves two full q/k round trips per block).
+    ~zero.
+
+    With `has_rope`, rotary embedding runs in-kernel from tiny shared
+    tables AND is cached in scratch so no tile is rotated twice: the q
+    tile once per q-block (at j == 0, reused across the k sweep) and each
+    k block once per (batch, head) (at i == 0 into a persistent all-blocks
+    scratch, reused by every later q block - the TPU grid is sequential,
+    so the i/j axes are declared "arbitrary"). This removes the HBM
+    round trips of pre-applied roped q/k entirely.
     """
     if has_rope:
         cq_ref, sq_ref, ck_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, \
-            acc_ref, m_ref, l_ref = refs
+            acc_ref, m_ref, l_ref, qr_ref, ks_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs
+    i = pl.program_id(1)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -118,15 +125,26 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
+    if has_rope:
+        @pl.when(j == 0)
+        def _rope_q():
+            qr_ref[:] = _rope_in_kernel(_sq(q_ref), cq_ref[...], sq_ref[...])
+
+        @pl.when(i == 0)
+        def _rope_k():
+            ks_ref[pl.ds(j * block_k, block_k)] = _rope_in_kernel(
+                _sq(k_ref), ck_ref[...], sk_ref[...])
+
     def step(apply_mask):
         # Keep matmul operands in bf16: the MXU runs bf16 x bf16 -> f32 at
         # full rate, while f32 operands drop it ~8x. Softmax stats stay f32.
-        q = _sq(q_ref)                               # (block_q, D)
-        k = _sq(k_ref)                               # (block_k, D)
-        v = _sq(v_ref)                               # (block_k, D)
         if has_rope:
-            q = _rope_in_kernel(q, cq_ref[...], sq_ref[...])
-            k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
+            q = qr_ref[:]                            # (block_q, D)
+            k = ks_ref[pl.ds(j * block_k, block_k)]  # (block_k, D)
+        else:
+            q = _sq(q_ref)                           # (block_q, D)
+            k = _sq(k_ref)                           # (block_k, D)
+        v = _sq(v_ref)                               # (block_k, D)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -347,6 +365,24 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         _flash_kernel, block_k=block_k,
         num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope)
 
+    scratch = [
+        pltpu.VMEM((block_q, D), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+    ]
+    if has_rope:
+        # roped-q cache (per q block) + roped-k cache over ALL k blocks
+        # (filled on the first q sweep, reused by every later one)
+        scratch += [pltpu.VMEM((block_q, D), q.dtype),
+                    pltpu.VMEM((nk_blocks * block_k, D), q.dtype)]
+        # the k cache carries state across the i axis, so i is sequential
+        semantics = ("parallel", "arbitrary", "arbitrary")
+    else:
+        # b and i carry no state; only the k-block axis j is sequential
+        # (online-softmax accumulators). Declaring this lets Mosaic
+        # pipeline and reorder the parallel axes.
+        semantics = ("parallel", "parallel", "arbitrary")
+
     out = pl.pallas_call(
         kernel,
         grid=(B * H, nq_blocks, nk_blocks),
@@ -354,16 +390,9 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         qkv_specs((q_map3, k_map3)),
         out_specs=out_spec3,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
-        # b and i carry no state; only the k-block axis j is sequential
-        # (online-softmax accumulators). Declaring this lets Mosaic pipeline
-        # and reorder the parallel axes.
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(vl, *rope_ops, qf, kf, vf)
@@ -414,21 +443,9 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
             block_q = max(128, min(block_q, 256))
         block_q = min(block_q, max(128, 1 << (Nq - 1).bit_length()))
         block_k = min(block_k, max(128, 1 << (Nk - 1).bit_length()))
-        if rope_q is not None:
-            # Multi-block path: each k block is revisited once per q block,
-            # so in-kernel rope would re-rotate k nq_blocks times - more VPU
-            # than the HBM round trip it saves (measured on v5e). Pre-apply
-            # instead; in-kernel fusion stays for the single-block path.
-            if layout == "nhd":
-                # tables broadcast over the head axis at position 2
-                q = _apply_rope_wide(
-                    q, rope_q[0][:, None], rope_q[1][:, None])
-                k = _apply_rope_wide(
-                    k, rope_k[0][:, None], rope_k[1][:, None])
-            else:
-                q = _apply_rope_wide(q, *rope_q)
-                k = _apply_rope_wide(k, *rope_k)
-            rope_q = rope_k = None
+        # Multi-block rope runs in-kernel with scratch caching (q rotated
+        # once per q block, every k block rotated once per (batch, head)
+        # on the first q sweep) - no pre-applied roped q/k round trips.
     return _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                        rope_q=rope_q, rope_k=rope_k, layout=layout)
 
