@@ -71,6 +71,37 @@ class TestShardedBucketedModelFn:
                                        rtol=2e-2, atol=2e-3)
 
 
+class TestShardedDepthMode:
+    def test_point_head_disabled_with_unprojection(self, setup, cpu_devices):
+        """The CLI's default --shard configuration: enable_point_head=False
+        (output dict has no world_points_cf) + in-jit depth unprojection.
+        Guards the out_shardings-from-eval_shape fix - a hardcoded key list
+        raises a pytree ValueError here."""
+        import dataclasses
+        from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
+        from vggt_slam_tpu.parallel.infer import make_sharded_bucketed_model_fn
+        cfg, _ = setup
+        cfg = dataclasses.replace(cfg, enable_point_head=False)
+        params = init_params(cfg, jax.random.PRNGKey(0), 1, (56, 70))
+        mesh = make_mesh(cpu_devices)
+        model = VGGT(cfg)
+        fn_ref = make_bucketed_model_fn(model, params, bucket_size=4,
+                                        with_unprojection=True)
+        fn_sh = make_sharded_bucketed_model_fn(model, params, bucket_size=4,
+                                               mesh=mesh,
+                                               with_unprojection=True)
+        imgs = np.random.default_rng(3).uniform(
+            size=(3, 3, 56, 70)).astype(np.float32)
+        a = fn_ref(imgs)
+        b = fn_sh(imgs)
+        assert "world_points" not in b  # point head off
+        for k in ("pose_enc", "depth", "extrinsic", "intrinsic",
+                  "unproj_points"):
+            assert k in b, k
+            np.testing.assert_allclose(b[k], a[k], rtol=2e-2, atol=2e-3,
+                                       err_msg=k)
+
+
 class TestShardedTraining:
     def test_loss_decreases(self, setup, cpu_devices):
         cfg, params = setup

@@ -48,6 +48,10 @@ parser.add_argument("--colmap_images_txt", type=str, default=None)
 parser.add_argument("--align_no_scale", action="store_true")
 parser.add_argument("--checkpoint", type=str, default=None,
                     help="path to converted VGGT weights (orbax/npz); random init if absent")
+parser.add_argument("--retrieval_checkpoint", type=str, default=None,
+                    help="path to converted SALAD retrieval weights; loop "
+                         "closure is DISABLED when absent (random "
+                         "descriptors would insert bogus loop factors)")
 parser.add_argument("--model_size", type=str, default="1b",
                     choices=["1b", "tiny"], help="model configuration")
 parser.add_argument("--global_kv_stride", type=int, default=1,
@@ -118,8 +122,9 @@ def build_model_fn(args):
     if getattr(args, "shard", False):
         from vggt_slam_tpu.parallel.infer import make_sharded_bucketed_model_fn
         print(f"Sharding the forward over {jax.device_count()} devices")
-        return make_sharded_bucketed_model_fn(model, params, bucket,
-                                              as_numpy=as_numpy)
+        return make_sharded_bucketed_model_fn(
+            model, params, bucket, as_numpy=as_numpy,
+            with_unprojection=point_head is False)
     from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
     return make_bucketed_model_fn(model, params, bucket, as_numpy=as_numpy,
                                   with_unprojection=point_head is False)
@@ -143,7 +148,8 @@ def main():
 
     from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
     retrieval = ImageRetrieval(
-        batch_bucket=args.submap_size + args.overlapping_window_size)
+        batch_bucket=args.submap_size + args.overlapping_window_size,
+        checkpoint=args.retrieval_checkpoint)
     solver = Solver(init_conf_threshold=args.conf_threshold,
                     use_point_map=args.use_point_map,
                     use_sim3=args.use_sim3,

@@ -282,12 +282,22 @@ def default_descriptor_fn(input_size: int = 224, checkpoint: str | None = None):
     """SALAD descriptor callable (random init until weights are converted).
 
     With random weights descriptors carry no place information (distinct
-    images land ~0.3 apart in L2, under the 0.80 accept threshold), so
-    loop detection may fire arbitrarily - harmless for pipeline checks,
-    meaningless geometrically. Convert the public SALAD checkpoint
-    (`convert_torch_checkpoint`) for real place recognition.
+    images land ~0.3 apart in L2, under the 0.80 accept threshold), so a
+    checkpoint-less descriptor would fire arbitrary "loop closures" and
+    feed garbage RANSAC factors into the graph. The returned callable
+    therefore carries `run.trusted = (checkpoint is not None)`;
+    ImageRetrieval disables loop detection when it is False. Convert the
+    public SALAD checkpoint (`convert_torch_checkpoint`) for real place
+    recognition (reference loop_closure.py:80-91 only fires on genuine
+    sub-0.80 matches from trained weights).
     """
+    built: dict = {}  # lazy-once: build on first call, never per submap
+
     def run(frames):
-        params, fn = _build_default(input_size, checkpoint)
-        return fn(params, jnp.asarray(frames))
+        if not built:
+            built["params"], built["fn"] = _build_default(
+                input_size, checkpoint)
+        return built["fn"](built["params"], jnp.asarray(frames))
+
+    run.trusted = checkpoint is not None
     return run

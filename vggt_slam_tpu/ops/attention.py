@@ -422,6 +422,12 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
     math to modules.apply_rope), which avoids materializing roped q and k
     to HBM. Tables are shared across B and H.
     """
+    if layout == "nhd" and not interpret:
+        raise NotImplementedError(
+            "layout='nhd' needs a (1, block, 1, D) BlockSpec that Mosaic's "
+            "TPU lowering rejects (second-to-last block dim must divide 8 "
+            "or equal the array dim); use layout='bhnd' on hardware, or "
+            "interpret=True for testing")
     seq_ax = 1 if layout == "nhd" else 2
     Nq = q.shape[seq_ax]
     Nk = k.shape[seq_ax]

@@ -16,6 +16,22 @@ import jax.numpy as jnp
 from vggt_slam_tpu.parallel.mesh import (frame_sharding, make_mesh,
                                          make_param_shardings, replicated)
 
+# Output keys whose frame axis is axis 1 (channel-first (3,S,H,W) maps);
+# everything else carries frames on axis 0.
+_CF_KEYS = ("world_points_cf", "unproj_points_cf")
+
+
+def _output_shardings(fn, mesh, *example_args):
+    """Frame-sharding pytree matching fn's ACTUAL output structure.
+
+    The model's output dict varies with its config (enable_point_head /
+    enable_depth_head / with_unprojection), so the shardings are derived
+    from jax.eval_shape rather than a hardcoded key list.
+    """
+    out_shape = jax.eval_shape(fn, *example_args)
+    return {k: frame_sharding(mesh, axis=1 if k in _CF_KEYS else 0)
+            for k in out_shape}
+
 
 def make_sharded_forward(model, params, mesh=None):
     """Return (forward_fn, sharded_params).
@@ -29,10 +45,10 @@ def make_sharded_forward(model, params, mesh=None):
     params_sharded = jax.device_put(params, p_shard)
     f_shard = frame_sharding(mesh)
 
-    out_shardings = dict(images=f_shard, pose_enc=f_shard, depth=f_shard,
-                         depth_conf=f_shard,
-                         world_points_cf=frame_sharding(mesh, axis=1),
-                         world_points_conf=f_shard)
+    dp = mesh.shape["dp"]
+    example = jax.ShapeDtypeStruct((dp, 3, model.cfg.img_size,
+                                    model.cfg.img_size), jnp.float32)
+    out_shardings = _output_shardings(model.apply, mesh, params, example)
 
     fwd = jax.jit(model.apply, in_shardings=(p_shard, f_shard),
                   out_shardings=out_shardings)
@@ -40,13 +56,22 @@ def make_sharded_forward(model, params, mesh=None):
 
 
 def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
-                                   mesh=None, as_numpy: bool = True):
+                                   mesh=None, as_numpy: bool = True,
+                                   with_unprojection: bool = False):
     """Sharded counterpart of models.vggt.model.make_bucketed_model_fn:
     a prediction callable that pads every submap batch to a fixed bucket
     (rounded up so the frame axis divides the dp mesh axis), passes a traced
     `valid_frames`, and runs the forward sharded over the ("dp","tp") mesh.
-    Drop-in for the SLAM solver's model_fn (main.py --shard)."""
+    Drop-in for the SLAM solver's model_fn (main.py --shard).
+
+    `with_unprojection=True` mirrors the single-chip path: camera decode +
+    depth unprojection run INSIDE the sharded jit (frame-parallel over dp),
+    so sharded runs skip the per-submap host depth round-trip too.
+    """
     import numpy as np
+
+    from vggt_slam_tpu.ops import geometry
+
     if mesh is None:
         mesh = make_mesh()
     dp = mesh.shape["dp"]
@@ -56,13 +81,28 @@ def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
     params_sharded = jax.device_put(params, p_shard)
     f_shard = frame_sharding(mesh)
     r_shard = replicated(mesh)
-    f_shard_cf = frame_sharding(mesh, axis=1)  # (3, S, H, W): frames on ax 1
-    out_shardings = dict(images=f_shard, pose_enc=f_shard, depth=f_shard,
-                         depth_conf=f_shard, world_points_cf=f_shard_cf,
-                         world_points_conf=f_shard)
 
-    fwd = jax.jit(model.apply, in_shardings=(p_shard, f_shard, r_shard),
+    def _apply(params, images, valid_frames=None):
+        out = dict(model.apply(params, images, valid_frames))
+        if with_unprojection and "depth" in out:
+            extr, intr = geometry.pose_encoding_to_extri_intri(
+                out["pose_enc"], images.shape[-2:])
+            out["extrinsic"], out["intrinsic"] = extr, intr
+            out["unproj_points_cf"] = \
+                geometry.unproject_depth_map_to_point_map_cf(
+                    out["depth"][..., 0], extr, intr)
+        return out
+
+    H = W = model.cfg.img_size
+    example = (jax.ShapeDtypeStruct((bucket, 3, H, W), jnp.float32),
+               jax.ShapeDtypeStruct((), jnp.int32))
+    out_shardings = _output_shardings(_apply, mesh, params, *example)
+
+    fwd = jax.jit(_apply, in_shardings=(p_shard, f_shard, r_shard),
                   out_shardings=out_shardings)
+
+    def _slice(k, v, S):
+        return v[:, :S] if k in _CF_KEYS else v[:S]
 
     def model_fn(images):
         images = np.asarray(images, dtype=np.float32)
@@ -76,13 +116,12 @@ def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
             for k, v in out.items():
                 if k == "images":
                     continue
-                if k == "world_points_cf":
-                    host["world_points"] = np.moveaxis(
+                if k in _CF_KEYS:
+                    host[k.replace("_cf", "")] = np.moveaxis(
                         np.asarray(v[:, :S]), 0, -1)
                 else:
                     host[k] = np.asarray(v[:S])
             return host
-        return {k: (v[:, :S] if k == "world_points_cf" else v[:S])
-                for k, v in out.items() if k != "images"}
+        return {k: _slice(k, v, S) for k, v in out.items() if k != "images"}
 
     return model_fn

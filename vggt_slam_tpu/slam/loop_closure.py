@@ -57,17 +57,29 @@ class ImageRetrieval:
     """
 
     def __init__(self, descriptor_fn=None, input_size: int = 224,
-                 batch_bucket: int | None = None):
+                 batch_bucket: int | None = None,
+                 checkpoint: str | None = None):
         self.input_size = input_size
         self.batch_bucket = batch_bucket
         if descriptor_fn is None:
             from vggt_slam_tpu.models.retrieval import default_descriptor_fn
-            descriptor_fn = default_descriptor_fn(input_size=input_size)
+            descriptor_fn = default_descriptor_fn(input_size=input_size,
+                                                  checkpoint=checkpoint)
         self.descriptor_fn = descriptor_fn
+        # Random-init descriptors land under the 0.80 accept threshold for
+        # unrelated images, so an untrusted descriptor source must DISABLE
+        # loop detection rather than insert garbage factors (the reference
+        # always runs converted SALAD weights - loop_closure.py:80-91).
+        self.trusted = bool(getattr(descriptor_fn, "trusted", True))
+        self._warned_untrusted = False
 
     def get_all_submap_embeddings(self, submap) -> np.ndarray:
         frames = np.asarray(submap.get_all_frames(), dtype=np.float32)
         S = frames.shape[0]
+        if not self.trusted:
+            # Loop detection is disabled; don't pay a descriptor forward
+            # per submap for vectors nothing will ever search.
+            return np.zeros((S, 1), np.float32)
         if self.batch_bucket is not None and S < self.batch_bucket:
             # Pad to the bucket so the descriptor network compiles once;
             # frames are encoded independently, so padding can't leak.
@@ -82,6 +94,15 @@ class ImageRetrieval:
         (map.py:38-44). The pipelined solver passes False because there the
         previous submap is not yet inserted when the search runs - the same
         set of submaps is searched either way."""
+        if not self.trusted:
+            if not self._warned_untrusted:
+                self._warned_untrusted = True
+                import sys
+                print("loop closure DISABLED: retrieval descriptors are "
+                      "random-init (no checkpoint); pass a converted SALAD "
+                      "checkpoint to enable place recognition",
+                      file=sys.stderr)
+            return []
         queue = LoopMatchQueue(max_size=max_loop_closures)
         for query_id, qvec in enumerate(submap.get_all_retrieval_vectors()):
             score, best_submap, best_frame = map.retrieve_best_score_frame(

@@ -18,6 +18,7 @@ math (RANSAC, unprojection, pose readout, graph solve) runs on device.
 from __future__ import annotations
 
 import contextlib
+import sys
 
 import numpy as np
 import jax
@@ -31,6 +32,9 @@ from vggt_slam_tpu.slam.keyframe import FrameTracker
 from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
 from vggt_slam_tpu.slam.map import GraphMap
 from vggt_slam_tpu.slam.submap import Submap
+
+# One-shot warning latch for runtimes without async device->host transfer.
+_warned_async: dict = {}
 
 
 class Solver:
@@ -157,8 +161,15 @@ class Solver:
             if fn is not None:
                 try:
                     fn()
-                except Exception:
-                    pass
+                except (NotImplementedError, jax.errors.JaxRuntimeError) as e:
+                    # Runtime lacks async transfer: fine, collect_predictions
+                    # will do a synchronous readback. Anything else (OOM,
+                    # device failure) must surface HERE, not at collect time.
+                    if not _warned_async.get("done"):
+                        _warned_async["done"] = True
+                        print(f"note: async device->host copy unavailable "
+                              f"({type(e).__name__}); falling back to "
+                              f"synchronous readback", file=sys.stderr)
         return {"outputs": outputs, "images": images,
                 "detected_loops": detected_loops, "submap": new_submap}
 
