@@ -158,6 +158,7 @@ class TestGLB:
 
 
 class TestTorchConversion:
+    pytestmark = pytest.mark.slow
     def test_synthetic_torch_dict_roundtrip(self):
         """Build a torch-style state dict named via the converter's own
         mapping, convert it, and require a 100% fill with exact values -
@@ -171,6 +172,16 @@ class TestTorchConversion:
         cfg = VGGTConfig.tiny(dpt_layers=(0, 1, 2, 3),
                               dpt_out_channels=(8, 16, 16, 32))
         params = init_params(cfg, jax.random.PRNGKey(0), 1, (56, 70))
+
+        import re as _re
+
+        def qperm(n):
+            q = n // 4
+            return np.concatenate([np.arange(q), np.arange(2 * q, 3 * q),
+                                   np.arange(q, 2 * q), np.arange(3 * q, 4 * q)])
+
+        dh = cfg.agg_dim // cfg.agg_heads
+        roped = _re.compile(r"(frame|global)_blocks\.\d+\.attn\.")
 
         rng = np.random.default_rng(0)
         flat = convert._flatten(params)
@@ -190,6 +201,26 @@ class TestTorchConversion:
             else:
                 torch_sd[name] = val
             flat[path] = val             # expected value after conversion
+            # Roped (aggregator) attention q/k params additionally get the
+            # rope-pairing quarter permutation (croco rotate-half -> our
+            # half-swap; forward-validated in test_model_torch_parity.py).
+            if roped.search(name):
+                if name.endswith(("q_norm.weight", "q_norm.bias",
+                                  "k_norm.weight", "k_norm.bias")):
+                    flat[path] = val[qperm(dh)]
+                elif name.endswith("qkv.bias"):
+                    C3 = val.shape[0]
+                    rows = np.arange(C3)
+                    qk = rows[:2 * C3 // 3].reshape(
+                        2, -1, dh)[..., qperm(dh)].reshape(-1)
+                    flat[path] = val[np.concatenate([qk, rows[2 * C3 // 3:]])]
+                elif name.endswith("qkv.weight"):   # flax (in, 3C)
+                    C3 = val.shape[1]
+                    cols = np.arange(C3)
+                    qk = cols[:2 * C3 // 3].reshape(
+                        2, -1, dh)[..., qperm(dh)].reshape(-1)
+                    flat[path] = val[:, np.concatenate([qk,
+                                                        cols[2 * C3 // 3:]])]
 
         out, report = convert.convert_torch_state_dict(torch_sd, params)
         assert report["unmatched_flax"] == []

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ class TestPreprocess:
 
 
 class TestSALAD:
+    pytestmark = pytest.mark.slow
     def test_descriptor_contract(self):
         from vggt_slam_tpu.models.retrieval import SALAD, SALADConfig
         cfg = SALADConfig.tiny()

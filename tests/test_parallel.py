@@ -10,6 +10,8 @@ from vggt_slam_tpu.parallel.mesh import make_mesh, make_param_shardings
 from vggt_slam_tpu.parallel.infer import make_sharded_forward
 from vggt_slam_tpu.parallel.train import make_dryrun_batch, make_train_step
 
+pytestmark = pytest.mark.slow  # 8-device mesh + sharded model tests
+
 
 @pytest.fixture(scope="module")
 def setup(cpu_devices):

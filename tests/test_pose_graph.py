@@ -6,6 +6,7 @@ values, odometry + one loop-closure factor, tight anchor prior; after LM the
 estimates must match ground truth.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def nrm(H):
 
 
 class TestSL4Chain:
+    pytestmark = pytest.mark.slow
     def test_reference_synthetic_graph(self):
         rng = np.random.default_rng(seed=42)
         rels = [nrm(H) for H in (H12, H23, H34, H45)]
@@ -84,6 +86,7 @@ class TestSL4Chain:
 
 
 class TestSE3Chain:
+    pytestmark = pytest.mark.slow
     def test_loop_correction(self):
         rng = np.random.default_rng(7)
         rels = [np.asarray(lie.se3_exp(jnp.asarray(rng.uniform(-0.5, 0.5, 6))))
@@ -120,6 +123,7 @@ class TestSE3Chain:
 
 
 class TestSim3Chain:
+    pytestmark = pytest.mark.slow
     def test_scale_drift_correction(self):
         rng = np.random.default_rng(11)
         xis = rng.uniform(-0.3, 0.3, size=(4, 7))
@@ -144,6 +148,7 @@ class TestSim3Chain:
 
 
 class TestBucketGrowth:
+    pytestmark = pytest.mark.slow
     def test_incremental_optimize_like_slam_loop(self):
         # Mirror the SLAM driver: add a node + odometry factor per "submap",
         # re-optimizing the whole graph each time (main.py:119 semantics).

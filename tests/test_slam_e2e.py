@@ -17,6 +17,8 @@ from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
 from vggt_slam_tpu.slam.alignment import umeyama_sim3_np, rmse
 from vggt_slam_tpu.data.pcd import read_pcd
 
+pytestmark = pytest.mark.slow  # end-to-end SLAM runs
+
 jax.config.update("jax_enable_x64", True)
 
 IMAGE_HW = (28, 42)

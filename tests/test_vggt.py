@@ -6,6 +6,8 @@ import pytest
 from vggt_slam_tpu.models.vggt.config import VGGTConfig
 from vggt_slam_tpu.models.vggt.model import VGGT, init_params, param_count
 
+pytestmark = pytest.mark.slow  # full tiny-model forwards
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():

@@ -70,9 +70,14 @@ class Aggregator(nn.Module):
 
         # Full-length 2D RoPE tables: identity rotation on special tokens,
         # per-patch (y, x) angles on the grid; frame-major tiling for the
-        # global sequence.
-        yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        # global sequence. Patch positions are 1-BASED: the released
+        # aggregator shifts the grid by +1 and assigns position (0, 0) to
+        # the camera/register tokens, so position 0 (zero angle = identity
+        # rotation) is reserved for specials and patch (0,0) is distinct
+        # from them (torch-golden: tests/test_model_torch_parity.py).
+        yy, xx = jnp.meshgrid(jnp.arange(1, h + 1, dtype=jnp.float32),
+                              jnp.arange(1, w + 1, dtype=jnp.float32),
+                              indexing="ij")
         positions = jnp.stack([yy.ravel(), xx.ravel()], axis=-1)  # (P, 2)
         head_dim = cfg.agg_dim // cfg.agg_heads
         cos_p, sin_p = rope_2d_angles(positions, head_dim, cfg.rope_base)

@@ -74,46 +74,40 @@ def load_checkpoint(path: str, params_template):
 # ----------------------------------------------------------------------------
 
 def _torch_name_candidates(flax_path: str) -> list[str]:
-    """Map one flax param path to candidate torch state-dict names.
+    """Map one flax param path to the public facebookresearch/vggt
+    state-dict name.
 
-    Best-effort against the public facebookresearch/vggt naming; every rule
-    returns candidates in priority order.
+    Works on a fully dot-separated path with leaf suffixes renamed FIRST
+    (kernel/scale -> weight), then digit-anchored module renames - ordered
+    slash-by-slash string replacement (the round-1 version) consumed
+    separators needed by later rules and silently left norm/mlp leaves
+    unmatched (caught by tests/test_model_torch_parity.py).
     """
     p = flax_path
-
-    # encoder (DINOv2 inside the aggregator's patch_embed)
-    p = p.replace("params/aggregator/patch_embed/", "aggregator.patch_embed.")
-    p = p.replace("params/aggregator/frame_block_", "aggregator.frame_blocks.")
-    p = p.replace("params/aggregator/global_block_", "aggregator.global_blocks.")
-    p = p.replace("params/aggregator/camera_token", "aggregator.camera_token")
-    p = p.replace("params/aggregator/register_token", "aggregator.register_token")
-    p = p.replace("params/camera_head/", "camera_head.")
-    p = p.replace("params/depth_head/", "depth_head.")
-    p = p.replace("params/point_head/", "point_head.")
-    p = p.replace("block_", "blocks.")
-    # Camera head (vggt camera_head.py layout)
-    p = p.replace("/trunk_", ".trunk.")
-    p = p.replace("/modulation/", ".poseLN_modulation.1.")
-    # DPT heads (vggt dpt_head.py / Depth-Anything layout)
-    p = p.replace("/projects_", ".projects.")
-    p = p.replace("/resize_", ".resize_layers.")
-    p = re.sub(r"/layer_rn_(\d+)",
-               lambda m: f".scratch.layer{int(m.group(1)) + 1}_rn", p)
-    p = re.sub(r"/refinenet(\d+)", r".scratch.refinenet\1", p)
-    p = p.replace("/output_conv1/", ".scratch.output_conv1.")
-    p = p.replace("/output_conv2_0/", ".scratch.output_conv2.0.")
-    p = p.replace("/output_conv2_2/", ".scratch.output_conv2.2.")
-    p = p.replace("/attn/qkv/", ".attn.qkv.")
-    p = p.replace("/attn/proj/", ".attn.proj.")
-    p = p.replace("/mlp/fc1/", ".mlp.fc1.")
-    p = p.replace("/mlp/fc2/", ".mlp.fc2.")
-    p = p.replace("/norm1/", ".norm1.").replace("/norm2/", ".norm2.")
-    p = p.replace("/ls1/gamma", ".ls1.gamma").replace("/ls2/gamma", ".ls2.gamma")
-    p = p.replace("/norm/", ".norm.")
-    p = p.replace("/kernel", ".weight").replace("/bias", ".bias")
-    p = p.replace("/scale", ".weight")
-    p = p.replace("patch_embed.patch_embed", "patch_embed.patch_embed.proj")
+    if p.startswith("params/"):
+        p = p[len("params/"):]
     p = p.replace("/", ".")
+    # leaf renames
+    p = re.sub(r"\.kernel$", ".weight", p)
+    p = re.sub(r"\.scale$", ".weight", p)
+    # numbered module lists (digit-anchored: trunk_0 yes, trunk_norm no)
+    p = re.sub(r"\bframe_block_(\d+)", r"frame_blocks.\1", p)
+    p = re.sub(r"\bglobal_block_(\d+)", r"global_blocks.\1", p)
+    p = re.sub(r"\bblock_(\d+)", r"blocks.\1", p)      # DINOv2 encoder
+    p = re.sub(r"\btrunk_(\d+)", r"trunk.\1", p)       # camera-head trunk
+    # camera head (vggt camera_head.py layout)
+    p = p.replace(".modulation.", ".poseLN_modulation.1.")
+    # DPT heads (vggt dpt_head.py / Depth-Anything layout)
+    p = re.sub(r"\bprojects_(\d+)", r"projects.\1", p)
+    p = re.sub(r"\bresize_(\d+)", r"resize_layers.\1", p)
+    p = re.sub(r"\blayer_rn_(\d+)",
+               lambda m: f"scratch.layer{int(m.group(1)) + 1}_rn", p)
+    p = re.sub(r"\brefinenet(\d+)", r"scratch.refinenet\1", p)
+    p = p.replace(".output_conv1.", ".scratch.output_conv1.")
+    p = p.replace(".output_conv2_0.", ".scratch.output_conv2.0.")
+    p = p.replace(".output_conv2_2.", ".scratch.output_conv2.2.")
+    # DINOv2 patchify conv lives under .proj in torch
+    p = p.replace("patch_embed.patch_embed.", "patch_embed.patch_embed.proj.")
     return [p]
 
 
@@ -142,6 +136,59 @@ def _structural_transforms(flat_t: dict) -> None:
         if cls_key in flat_t:
             flat_t[cls_key] = flat_t[cls_key] + arr[:, :1]
         flat_t[key] = arr[:, 1:].reshape(1, g, g, C)
+    _rope_pairing_transforms(flat_t)
+
+
+def _rope_pairing_transforms(flat_t: dict) -> None:
+    """Permute q/k head dims of ROPED blocks to our rope pairing, in place.
+
+    The released VGGT applies croco-style 2D rotary embedding: the head dim
+    splits into a y half and an x half, and rotate_half pairs dim i with
+    i + Dh/4 WITHIN each half. Our kernels rotate pairs (i, i + Dh/2)
+    across the full head dim with angle table [y-angles | x-angles]
+    (ops/attention._rope_in_kernel, modules.apply_rope) - the same math
+    under the fixed per-head quarter permutation [q0, q2, q1, q3] of q/k
+    feature dims. Attention scores are invariant when q and k (and their
+    per-head q_norm/k_norm params) are permuted consistently, so the
+    permutation is folded into the parameters here and the hot path keeps
+    its single-swap rope form. Applies ONLY to blocks that use rope: the
+    aggregator's frame/global blocks (the DINOv2 encoder uses learned
+    position embeddings and the camera-head trunk has no rope).
+
+    Torch-golden: tests/test_model_torch_parity.py compares a converted
+    croco-rope torch block against our forward end to end.
+    """
+    pat = re.compile(r"(frame|global)_blocks\.\d+\.attn\.")
+
+    def quarter_perm(n):
+        q = n // 4
+        idx = np.arange(n)
+        return np.concatenate([idx[:q], idx[2 * q:3 * q],
+                               idx[q:2 * q], idx[3 * q:]])
+
+    for key in list(flat_t):
+        m = pat.search(key)
+        if m is None:
+            continue
+        arr = flat_t[key]
+        tail = key[m.end():]
+        if tail in ("q_norm.weight", "q_norm.bias",
+                    "k_norm.weight", "k_norm.bias"):
+            flat_t[key] = arr[quarter_perm(arr.shape[0])]
+        elif tail in ("qkv.weight", "qkv.bias"):
+            # torch qkv rows: (3*C, ...) = q rows, k rows, v rows. Head
+            # count isn't in the shapes, but head_dim is: the per-head
+            # q_norm of the same block. Skip (leave torch layout) if the
+            # block has no qk-norm - no released roped VGGT block lacks it.
+            norm_key = key[: m.end()] + "q_norm.weight"
+            if norm_key not in flat_t:
+                continue
+            dh = flat_t[norm_key].shape[0]
+            C = arr.shape[0] // 3
+            perm = quarter_perm(dh)
+            rows = np.arange(arr.shape[0])
+            qk = rows[: 2 * C].reshape(2, C // dh, dh)[..., perm].reshape(-1)
+            flat_t[key] = arr[np.concatenate([qk, rows[2 * C:]])]
 
 
 def convert_torch_state_dict(state_dict: dict, params_template):

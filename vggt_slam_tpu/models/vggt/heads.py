@@ -55,7 +55,8 @@ class CameraHead(nn.Module):
         dim = 2 * cfg.agg_dim
         S = tokens_last.shape[0]
         cam = tokens_last[:, 0, :]  # camera token per frame
-        cam = nn.LayerNorm(dtype=jnp.float32, name="token_norm")(cam)
+        cam = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                           name="token_norm")(cam)
         cam = cam.astype(cfg.dtype)[None]  # (1, S, dim)
 
         empty = self.param("empty_pose_tokens", nn.initializers.zeros,
@@ -67,7 +68,8 @@ class CameraHead(nn.Module):
         trunk = [Block(dim, cfg.agg_heads, cfg.agg_mlp_ratio, layerscale=0.01,
                        dtype=cfg.dtype, name=f"trunk_{i}")
                  for i in range(cfg.cam_trunk_depth)]
-        out_norm = nn.LayerNorm(dtype=jnp.float32, name="trunk_norm")
+        out_norm = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                                name="trunk_norm")
         head = Mlp(dim // 2, 9, dtype=cfg.dtype, name="pose_branch")
 
         adaln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
@@ -267,7 +269,7 @@ class DPTHead(nn.Module):
         n = len(cfg.dpt_layers)
         # ONE LayerNorm shared by every captured depth (the torch head's
         # single self.norm module).
-        in_norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        in_norm = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5, name="norm")
 
         def add_pos(x):
             pe = uv_pos_embed(x.shape[2], x.shape[1], W / H, x.shape[-1])

@@ -80,6 +80,8 @@ class Attention(nn.Module):
     attn_impl: str = "chunked"
     qkv_bias: bool = True
     qk_norm: bool = False
+    # torch nn.LayerNorm default; DINOv2-lineage modules pass 1e-6.
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
@@ -125,8 +127,10 @@ class Attention(nn.Module):
             # Per-head LayerNorm over head_dim, BEFORE rotary embedding
             # (matches the released VGGT attention: qkv -> q_norm/k_norm ->
             # rope). f32 for stability, back to compute dtype after.
-            q = nn.LayerNorm(dtype=jnp.float32, name="q_norm")(q).astype(self.dtype)
-            k = nn.LayerNorm(dtype=jnp.float32, name="k_norm")(k).astype(self.dtype)
+            q = nn.LayerNorm(dtype=jnp.float32, epsilon=self.ln_eps,
+                             name="q_norm")(q).astype(self.dtype)
+            k = nn.LayerNorm(dtype=jnp.float32, epsilon=self.ln_eps,
+                             name="k_norm")(k).astype(self.dtype)
 
         if kv_index is None:
             kv_rope_cos, kv_rope_sin = rope_cos, rope_sin
@@ -175,6 +179,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "chunked"
     qk_norm: bool = False
+    ln_eps: float = 1e-5  # torch default; DINOv2-lineage blocks pass 1e-6
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
@@ -185,15 +190,17 @@ class Block(nn.Module):
                 return lambda y: y
             return LayerScale(self.dim, self.layerscale, name=name)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(dtype=jnp.float32, epsilon=self.ln_eps,
+                         name="norm1")(x).astype(self.dtype)
         h = Attention(self.dim, self.num_heads, dtype=self.dtype,
                       attn_impl=self.attn_impl, qk_norm=self.qk_norm,
-                      name="attn")(
+                      ln_eps=self.ln_eps, name="attn")(
             h, rope_cos, rope_sin, valid_len, kv_index=kv_index,
             kv_valid_len=kv_valid_len, kv_rope_cos=kv_rope_cos,
             kv_rope_sin=kv_rope_sin)
         x = x + ls("ls1")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(dtype=jnp.float32, epsilon=self.ln_eps,
+                         name="norm2")(x).astype(self.dtype)
         h = Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
                 name="mlp")(h)
         x = x + ls("ls2")(h)
