@@ -13,14 +13,19 @@ submaps. Inputs are synthetic
 to the real pipeline for everything except keyframing/IO, which the driver
 measures downstream of the open-source datasets.
 
-Operating mode: the headline runs with FastVGGT-style global K/V token
-merging at stride BENCH_KV_STRIDE (default 4 - keys/values keep all of
-frame 0 plus every 4th patch token of later frames; queries stay dense).
-Rationale: exact global attention at S=33 costs 116 TFLOP/submap, above
-what a single v5e can serve at 20 FPS even at the flash kernel's D=64
-utilization ceiling (~98 TF/s); FastVGGT (PAPERS.md) demonstrates far more
-aggressive merging on VGGT itself with negligible accuracy loss. Set
-BENCH_KV_STRIDE=1 for exact attention.
+Operating modes - BOTH are measured every run:
+  * merged (the headline + the CLI default --global_kv_stride 4
+    --global_merge sim): FastVGGT-style similarity token merging in global
+    attention - one K/V slot per 4 patch tokens of non-reference frames,
+    dropped tokens merged into their most-similar kept neighbor with
+    proportional attention (ToMe), assignment shared across all 24 global
+    blocks. Rationale: exact global attention at S=33 costs 116
+    TFLOP/submap, above what a single v5e can serve at 20 FPS even at the
+    flash kernel's D=64 utilization ceiling; FastVGGT demonstrates far
+    more aggressive merging on VGGT itself with negligible accuracy loss.
+  * exact (reported as "exact_fps" in the same JSON line): stride 1, exact
+    attention semantics per reference solver.py:469-471.
+BENCH_KV_STRIDE / BENCH_KV_MERGE override the headline operating point.
 """
 from __future__ import annotations
 
@@ -58,21 +63,31 @@ def main():
 
     on_tpu = backend == "tpu"
     stride = int(os.environ.get("BENCH_KV_STRIDE", "4"))
+    merge = os.environ.get("BENCH_KV_MERGE", "sim")
     # enable_point_head=False matches the CLI's default depth-unprojection
     # operating point: the point head's map is never consumed there
     # (reference solver.py:249-256), so the SLAM step doesn't pay it.
     # BENCH_POINT_HEAD=1 restores it (the --use_point_map profile).
     point_head = os.environ.get("BENCH_POINT_HEAD", "0") == "1"
-    cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
-                             global_kv_stride=stride,
-                             enable_point_head=point_head)
-    log(f"global_kv_stride: {stride}; point_head: {point_head}")
-    if not on_tpu:
-        # CPU fallback so the bench still runs everywhere (tiny model).
-        cfg = VGGTConfig.tiny(img_size=518, enable_point_head=point_head)
-        log("CPU fallback: tiny config")
+
+    def make_cfg(stride, merge):
+        if not on_tpu:
+            # CPU fallback so the bench still runs everywhere (tiny model).
+            return VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
+                                   global_merge=merge,
+                                   enable_point_head=point_head)
+        return VGGTConfig.vggt_1b(attn_impl="flash",
+                                  global_kv_stride=stride, global_merge=merge,
+                                  enable_point_head=point_head)
+
+    cfg = make_cfg(stride, merge)
+    log(f"global_kv_stride: {stride}; merge: {merge}; "
+        f"point_head: {point_head}; cpu_fallback: {not on_tpu}")
 
     model = VGGT(cfg)
+    # Exact-attention model shares the SAME parameters (merging is a
+    # config-only change); both operating points are measured every run.
+    model_exact = VGGT(make_cfg(1, merge))
     t0 = time.time()
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 3, H, W)))
@@ -89,6 +104,7 @@ def main():
     salad_fwd = jax.jit(salad.apply)
 
     fwd = jax.jit(model.apply)
+    fwd_exact = jax.jit(model_exact.apply)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.uniform(size=(S, 3, H, W)), dtype=jnp.float32)
     imgs224 = jnp.asarray(rng.uniform(size=(S, 3, 224, 224)),
@@ -113,17 +129,22 @@ def main():
     def checksum(a, b, c, d):
         return jnp.sum(a) + jnp.sum(b) + jnp.sum(c) + d
 
-    def submap_step(params, imgs, imgs224, pts_prev, weights, arrays, key):
-        desc = salad_fwd(salad_params, imgs224)
-        out = fwd(params, imgs)
-        extr, intr = geometry.pose_encoding_to_extri_intri(
-            out["pose_enc"], (H, W))
-        pts = geometry.unproject_depth_map_to_point_map(
-            out["depth"], extr, intr)
-        Hrel, _ = ransac_projective(pts[0].reshape(-1, 3), pts_prev, weights,
-                                    key=key)
-        values, err = pg_ops.optimize(arrays, manifold="sl4", max_iters=10)
-        return out["pose_enc"] + jnp.sum(desc) * 1e-30, Hrel, values, err
+    def make_submap_step(forward):
+        def submap_step(params, imgs, imgs224, pts_prev, weights, arrays, key):
+            desc = salad_fwd(salad_params, imgs224)
+            out = forward(params, imgs)
+            extr, intr = geometry.pose_encoding_to_extri_intri(
+                out["pose_enc"], (H, W))
+            pts = geometry.unproject_depth_map_to_point_map(
+                out["depth"], extr, intr)
+            Hrel, _ = ransac_projective(pts[0].reshape(-1, 3), pts_prev,
+                                        weights, key=key)
+            values, err = pg_ops.optimize(arrays, manifold="sl4", max_iters=10)
+            return out["pose_enc"] + jnp.sum(desc) * 1e-30, Hrel, values, err
+        return submap_step
+
+    submap_step = make_submap_step(fwd)
+    submap_step_exact = make_submap_step(fwd_exact)
 
     def sync(res):
         # axon's block_until_ready does not reliably wait; force a host
@@ -146,22 +167,38 @@ def main():
                              arrays, key))
         log(f"trace written to {trace_dir}")
 
-    times = []
-    for i in range(4):
+    def measure(step, label):
+        times = []
+        for i in range(4):
+            t0 = time.time()
+            sync(step(params, imgs, imgs224, pts_prev, weights, arrays,
+                      jax.random.PRNGKey(i)))
+            times.append(time.time() - t0)
+        best = min(times)
+        fps = SUBMAP / best
+        log(f"per-submap [{label}]: {best*1e3:.0f} ms -> {fps:.2f} FPS "
+            f"(times: {[f'{t:.2f}' for t in times]})")
+        return fps
+
+    fps = measure(submap_step, f"merged stride={stride} {merge}")
+
+    if stride > 1:
         t0 = time.time()
-        sync(submap_step(params, imgs, imgs224, pts_prev, weights, arrays,
-                         jax.random.PRNGKey(i)))
-        times.append(time.time() - t0)
-    best = min(times)
-    fps = SUBMAP / best
-    log(f"per-submap: {best*1e3:.0f} ms -> {fps:.2f} FPS "
-        f"(times: {[f'{t:.2f}' for t in times]})")
+        sync(submap_step_exact(params, imgs, imgs224, pts_prev, weights,
+                               arrays, key))
+        log(f"exact compile+first step: {time.time() - t0:.1f}s")
+        exact_fps = measure(submap_step_exact, "exact stride=1")
+    else:
+        exact_fps = fps
 
     print(json.dumps({
         "metric": "tum_style_submap32_e2e_fps_single_chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 20.0, 3),
+        "exact_fps": round(exact_fps, 2),
+        "exact_vs_baseline": round(exact_fps / 20.0, 3),
+        "operating_point": f"global_kv_stride={stride},merge={merge}",
     }))
 
 

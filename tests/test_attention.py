@@ -108,6 +108,42 @@ class TestAgreement:
                                    atol=3e-2, rtol=3e-2)
 
 
+class TestKVBias:
+    """Per-key logit bias (proportional attention for merged K/V tokens):
+    all impls must agree, in both single-block and online-softmax kernel
+    paths, with masking on top."""
+
+    @pytest.mark.parametrize("Nq,Nk,bk", [(300, 300, 1024), (256, 4000, 512)])
+    def test_impls_agree_with_bias(self, Nq, Nk, bk):
+        rng = np.random.default_rng(11)
+        q, k, v = make_qkv(rng, B=1, H=2, N=Nq, D=64)
+        k = jnp.asarray(rng.normal(size=(1, 2, Nk, 64)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 2, Nk, 64)), jnp.float32)
+        bias = jnp.asarray(rng.uniform(0, 3, size=(Nk,)), jnp.float32)
+        vl = jnp.int32(Nk - 13)
+        ref = attn.naive_attention(q, k, v, valid_len=vl, kv_bias=bias)
+        out_c = attn.chunked_attention(q, k, v, valid_len=vl, kv_bias=bias)
+        out_f = attn.flash_attention(q, k, v, valid_len=vl, kv_bias=bias,
+                                     block_q=128, block_k=bk, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_bias_equals_duplicated_keys(self):
+        # exp(log 2) bias on a key == that key appearing twice: the
+        # mathematical contract behind merged-token proportional attention.
+        rng = np.random.default_rng(12)
+        q, k, v = make_qkv(rng, B=1, H=1, N=8, D=64)
+        k2 = jnp.concatenate([k, k[:, :, :1]], axis=2)
+        v2 = jnp.concatenate([v, v[:, :, :1]], axis=2)
+        bias = jnp.zeros((8,)).at[0].set(np.log(2.0))
+        ref = attn.naive_attention(q, k2, v2)
+        out = attn.naive_attention(q, k, v, kv_bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+
+
 class TestGrad:
     def test_chunked_is_differentiable(self):
         rng = np.random.default_rng(5)

@@ -139,11 +139,12 @@ class TestBucketing:
 
 
 class TestGlobalKVMerging:
-    def test_merged_forward_runs_and_is_close(self):
+    @pytest.mark.parametrize("merge", ["sim", "stride"])
+    def test_merged_forward_runs_and_is_close(self, merge):
         # stride-2 K/V merging keeps the output contract; with smooth
         # (low-frequency) token content the merged attention should be a
         # reasonable approximation, and padding must still mask correctly.
-        cfg = VGGTConfig.tiny(global_kv_stride=2)
+        cfg = VGGTConfig.tiny(global_kv_stride=2, global_merge=merge)
         cfg_full = VGGTConfig.tiny()
         rng = jax.random.PRNGKey(0)
         params = init_params(cfg_full, rng, sample_frames=2, image_hw=(56, 70))
@@ -158,8 +159,28 @@ class TestGlobalKVMerging:
         d = np.abs(np.asarray(out_m["depth"]) - np.asarray(out_f["depth"]))
         assert d.mean() < 10.0
 
-    def test_merged_padding_invariance(self):
-        cfg = VGGTConfig.tiny(global_kv_stride=2)
+    def test_sim_merge_at_least_as_faithful_as_stride(self):
+        """Similarity merging (FastVGGT's method) preserves dropped-token
+        mass; at the same K/V budget its aggregator output should sit at
+        least as close to exact attention as plain subsampling (averaged
+        over tokens)."""
+        cfg_full = VGGTConfig.tiny()
+        rng = jax.random.PRNGKey(0)
+        params = init_params(cfg_full, rng, sample_frames=2, image_hw=(56, 70))
+        imgs = jnp.asarray(
+            np.random.default_rng(5).uniform(size=(4, 3, 56, 70)),
+            dtype=jnp.float32)
+        ref = VGGT(cfg_full).apply(params, imgs)["pose_enc"]
+        errs = {}
+        for merge in ("sim", "stride"):
+            cfg = VGGTConfig.tiny(global_kv_stride=2, global_merge=merge)
+            out = VGGT(cfg).apply(params, imgs)["pose_enc"]
+            errs[merge] = float(jnp.mean(jnp.abs(out - ref)))
+        assert errs["sim"] <= errs["stride"] * 1.25, errs
+
+    @pytest.mark.parametrize("merge", ["sim", "stride"])
+    def test_merged_padding_invariance(self, merge):
+        cfg = VGGTConfig.tiny(global_kv_stride=2, global_merge=merge)
         rng = jax.random.PRNGKey(1)
         params = init_params(cfg, rng, sample_frames=2, image_hw=(56, 70))
         rr = np.random.default_rng(2)

@@ -54,11 +54,20 @@ parser.add_argument("--retrieval_checkpoint", type=str, default=None,
                          "descriptors would insert bogus loop factors)")
 parser.add_argument("--model_size", type=str, default="1b",
                     choices=["1b", "tiny"], help="model configuration")
-parser.add_argument("--global_kv_stride", type=int, default=1,
-                    help="FastVGGT-style global-attention K/V merging: keep "
-                         "every Nth patch token of non-reference frames as "
-                         "keys/values (1 = exact attention; 4 gives ~1.7x "
-                         "faster forwards - validate ATE before relying on it)")
+parser.add_argument("--global_kv_stride", type=int, default=4,
+                    help="FastVGGT-style global-attention K/V token merging "
+                         "budget: one K/V slot per N patch tokens of "
+                         "non-reference frames (1 = exact attention). The "
+                         "default (4) matches the benchmarked operating "
+                         "point; --global_merge sim merges dropped tokens "
+                         "into their most-similar kept neighbor rather than "
+                         "discarding them")
+parser.add_argument("--global_merge", type=str, default="sim",
+                    choices=["sim", "stride"],
+                    help="how the reduced K/V set is formed when "
+                         "--global_kv_stride > 1: 'sim' = ToMe-style "
+                         "similarity merging with proportional attention "
+                         "(FastVGGT's method); 'stride' = plain subsampling")
 parser.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the run here")
 parser.add_argument("--no_pipeline", action="store_true",
@@ -90,12 +99,14 @@ def build_model_fn(args):
     # solver.py:249-256) - skip its ~77 ms of compute and ~320 MB of
     # per-submap readback entirely. --use_point_map re-enables it.
     point_head = bool(getattr(args, "use_point_map", False))
+    merge = getattr(args, "global_merge", "sim")
     if args.model_size == "tiny":
         cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
+                              global_merge=merge,
                               enable_point_head=point_head)
     else:
         cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
-                                 global_kv_stride=stride,
+                                 global_kv_stride=stride, global_merge=merge,
                                  enable_point_head=point_head)
     model = VGGT(cfg)
 

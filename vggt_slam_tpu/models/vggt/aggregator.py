@@ -87,17 +87,27 @@ class Aggregator(nn.Module):
         sin_g = jnp.tile(sin, (S, 1))
 
         # Global K/V token merging (cfg.global_kv_stride > 1): keys/values
-        # keep all of frame 0 + specials + stride-sampled patches of later
-        # frames. Frame-major order is preserved, so padded frames remain a
-        # maskable suffix of the kv sequence.
+        # keep all of frame 0 + specials + one slot per stride-r patch group
+        # of later frames. Frame-major order is preserved, so padded frames
+        # remain a maskable suffix of the kv sequence. With
+        # cfg.global_merge == "sim" (FastVGGT's method, PAPERS.md:8) the
+        # dropped patch tokens do not vanish: each merges into its
+        # most-similar kept token of the SAME frame (weighted token mean
+        # before the linear k/v projection == weighted key/value mean) with
+        # a log-group-size logit bias (ToMe proportional attention); the
+        # assignment is computed ONCE from the tokens entering the first
+        # global block and shared by all 24 (training-free, as FastVGGT).
         kv_index = None
         kv_valid = global_valid
         cos_kv = sin_kv = None
+        merge_sim = (cfg.global_kv_stride > 1 and S > 1 and
+                     cfg.global_merge == "sim")
         if cfg.global_kv_stride > 1 and S > 1:
             import numpy as onp
             r = cfg.global_kv_stride
-            per_frame = onp.concatenate([onp.arange(ns),
-                                         ns + onp.arange(0, P, r)])
+            dst_patch = onp.arange(0, P, r)
+            src_patch = onp.setdiff1d(onp.arange(P), dst_patch)
+            per_frame = onp.concatenate([onp.arange(ns), ns + dst_patch])
             idx = [onp.arange(N)]
             idx += [f * N + per_frame for f in range(1, S)]
             kv_index = jnp.asarray(onp.concatenate(idx), dtype=jnp.int32)
@@ -105,6 +115,47 @@ class Aggregator(nn.Module):
             sin_kv = sin_g[kv_index]
             if valid_frames is not None:
                 kv_valid = N + (jnp.maximum(valid_frames, 1) - 1) * len(per_frame)
+            Pd = len(dst_patch)
+            dst_idx = jnp.asarray(ns + dst_patch, jnp.int32)
+            src_idx = jnp.asarray(ns + src_patch, jnp.int32)
+
+        merge_state: dict = {}
+
+        def _compute_assignment(x):
+            """(Shared) src->dst map from tokens entering global block 0:
+            cosine similarity within each non-reference frame."""
+            xf = x[1:].astype(jnp.float32)                     # (S-1, N, C)
+            dst = xf[:, dst_idx]
+            src = xf[:, src_idx]
+            dn = dst / (jnp.linalg.norm(dst, axis=-1, keepdims=True) + 1e-6)
+            sn = src / (jnp.linalg.norm(src, axis=-1, keepdims=True) + 1e-6)
+            sim = jnp.einsum("fsc,fdc->fsd", sn, dn)
+            a = jnp.argmax(sim, axis=-1)                       # (S-1, Ps)
+            A = jax.nn.one_hot(a, Pd, dtype=jnp.float32)       # (S-1, Ps, Pd)
+            cnt = jnp.sum(A, axis=1) + 1.0                     # (S-1, Pd)
+            merge_state["A"] = A.astype(cfg.dtype)
+            merge_state["inv_cnt"] = (1.0 / cnt).astype(cfg.dtype)
+            # Proportional-attention bias, frame-major kv layout: zeros for
+            # frame 0 and specials, log(group size) for merged patch slots.
+            zrow = jnp.zeros((S - 1, ns), jnp.float32)
+            rows = jnp.concatenate([zrow, jnp.log(cnt)], axis=1)
+            merge_state["bias"] = jnp.concatenate(
+                [jnp.zeros((N,), jnp.float32), rows.reshape(-1)])
+
+        def _kv_map(xg):
+            """(1, S*N, C) post-norm tokens -> (1, n_kv, C) merged K/V set."""
+            x_ = xg.reshape(S, N, -1)
+            if not merge_sim:
+                return xg[:, kv_index]
+            dst = x_[1:, dst_idx]                              # (S-1, Pd, C)
+            src = x_[1:, src_idx]                              # (S-1, Ps, C)
+            agg = jnp.einsum("fsd,fsc->fdc",
+                             merge_state["A"].astype(x_.dtype), src)
+            merged = (dst + agg) * merge_state["inv_cnt"][..., None]
+            rest = jnp.concatenate([x_[1:, :ns], merged], axis=1)
+            kv = jnp.concatenate(
+                [x_[0], rest.reshape((S - 1) * (ns + Pd), x_.shape[-1])])
+            return kv[None]
 
         captured: Dict[int, jax.Array] = {}
         capture_set = set(cfg.dpt_layers) | {cfg.agg_depth - 1}
@@ -116,13 +167,18 @@ class Aggregator(nn.Module):
                 x, cos, sin)
             frame_out = x
 
+            if merge_sim and d == 0:
+                _compute_assignment(x)
+
             xg = x.reshape(1, S * N, cfg.agg_dim)
             xg = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
                        layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
                        attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
                        name=f"global_block_{d}")(
-                xg, cos_g, sin_g, valid_len=global_valid, kv_index=kv_index,
-                kv_valid_len=kv_valid, kv_rope_cos=cos_kv, kv_rope_sin=sin_kv)
+                xg, cos_g, sin_g, valid_len=global_valid,
+                kv_map=None if kv_index is None else _kv_map,
+                kv_valid_len=kv_valid, kv_rope_cos=cos_kv, kv_rope_sin=sin_kv,
+                kv_bias=merge_state.get("bias"))
             x = xg.reshape(S, N, cfg.agg_dim)
 
             if d in capture_set:

@@ -57,12 +57,21 @@ class VGGTConfig:
     enable_depth_head: bool = True
 
     # Global-attention K/V token merging (FastVGGT-style, PAPERS.md:8):
-    # keys/values of global blocks keep ALL tokens of frame 0 plus every
-    # `global_kv_stride`-th patch token of the other frames (special tokens
-    # always kept); queries stay dense so every output token is produced.
-    # 1 = exact attention. >1 trades accuracy for an ~stride-fold cut of the
-    # dominant O((S*P)^2) cost - validate ATE impact before enabling.
+    # keys/values of global blocks keep ALL tokens of frame 0 plus one K/V
+    # slot per `global_kv_stride` patch tokens of the other frames (special
+    # tokens always kept); queries stay dense so every output token is
+    # produced. 1 = exact attention. >1 trades accuracy for an
+    # ~stride-fold cut of the dominant O((S*P)^2) cost.
     global_kv_stride: int = 1
+    # How the reduced K/V set is formed when global_kv_stride > 1:
+    #   "sim":    ToMe-style similarity merging (FastVGGT's method): each
+    #             dropped patch token merges into its most-similar kept
+    #             token of the SAME frame (weighted mean + log-size
+    #             proportional-attention bias); the assignment is computed
+    #             once at the first global block and shared by all 24.
+    #   "stride": plain subsampling - dropped tokens simply vanish
+    #             (round-1 behavior, kept for comparison).
+    global_merge: str = "sim"
 
     @property
     def tokens_per_frame_special(self) -> int:

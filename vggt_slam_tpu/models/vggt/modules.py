@@ -85,13 +85,17 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
-                 valid_len: Optional[int] = None, kv_index=None,
-                 kv_valid_len=None, kv_rope_cos=None, kv_rope_sin=None):
-        """Self-attention; `kv_index` (static int array) restricts keys and
-        values to a token subset (global K/V merging) while queries stay
-        dense. The fused qkv parameter layout is kept (torch-converter
-        compatible paths attn/qkv/{kernel,bias}); the k/v projection only
-        runs on the subset."""
+                 valid_len: Optional[int] = None, kv_map=None,
+                 kv_valid_len=None, kv_rope_cos=None, kv_rope_sin=None,
+                 kv_bias=None):
+        """Self-attention; `kv_map` (callable (B, N, C) -> (B, n_kv, C))
+        restricts/merges keys and values to a reduced token set (global K/V
+        token merging) while queries stay dense; `kv_bias` (n_kv,) adds a
+        per-key logit bias (proportional attention for merged groups). The
+        fused qkv parameter layout is kept (torch-converter compatible
+        paths attn/qkv/{kernel,bias}); the k/v projection only runs on the
+        reduced set (projection is linear, so merging token means BEFORE
+        the projection equals merging keys/values)."""
         B, N, C = x.shape
         H = self.num_heads
         Dh = C // H
@@ -104,7 +108,7 @@ class Attention(nn.Module):
         # interleaved (N,2,H,D) kv tensor would force strided slice copies
         # when splitting; three plain dots leave each output in the (B, N,
         # H, Dh) layout the flash kernel reads natively (no transposes).
-        kv_src = x if kv_index is None else x[:, kv_index]
+        kv_src = x if kv_map is None else kv_map(x)
         q = x @ qkv_kernel[:, :C]
         k = kv_src @ qkv_kernel[:, C:2 * C]
         v = kv_src @ qkv_kernel[:, 2 * C:]
@@ -132,7 +136,7 @@ class Attention(nn.Module):
             k = nn.LayerNorm(dtype=jnp.float32, epsilon=self.ln_eps,
                              name="k_norm")(k).astype(self.dtype)
 
-        if kv_index is None:
+        if kv_map is None:
             kv_rope_cos, kv_rope_sin = rope_cos, rope_sin
             kv_valid_len = valid_len
 
@@ -151,7 +155,8 @@ class Attention(nn.Module):
         interpret = jax.default_backend() != "tpu"
         out = attn_ops.attention(q, k, v, impl=self.attn_impl,
                                  valid_len=kv_valid_len, interpret=interpret,
-                                 rope_q=rope_q, rope_k=rope_k)
+                                 rope_q=rope_q, rope_k=rope_k,
+                                 kv_bias=kv_bias)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -183,8 +188,9 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
-                 valid_len: Optional[int] = None, kv_index=None,
-                 kv_valid_len=None, kv_rope_cos=None, kv_rope_sin=None):
+                 valid_len: Optional[int] = None, kv_map=None,
+                 kv_valid_len=None, kv_rope_cos=None, kv_rope_sin=None,
+                 kv_bias=None):
         def ls(name):
             if self.layerscale is None:
                 return lambda y: y
@@ -195,9 +201,9 @@ class Block(nn.Module):
         h = Attention(self.dim, self.num_heads, dtype=self.dtype,
                       attn_impl=self.attn_impl, qk_norm=self.qk_norm,
                       ln_eps=self.ln_eps, name="attn")(
-            h, rope_cos, rope_sin, valid_len, kv_index=kv_index,
+            h, rope_cos, rope_sin, valid_len, kv_map=kv_map,
             kv_valid_len=kv_valid_len, kv_rope_cos=kv_rope_cos,
-            kv_rope_sin=kv_rope_sin)
+            kv_rope_sin=kv_rope_sin, kv_bias=kv_bias)
         x = x + ls("ls1")(h)
         h = nn.LayerNorm(dtype=jnp.float32, epsilon=self.ln_eps,
                          name="norm2")(x).astype(self.dtype)

@@ -34,10 +34,14 @@ def _key_mask(valid_len, nk):
     return jax.lax.broadcasted_iota(jnp.int32, (nk,), 0) < valid_len
 
 
-def naive_attention(q, k, v, valid_len=None):
+def naive_attention(q, k, v, valid_len=None, kv_bias=None):
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, v.dtype.type(scale) * k,
                         preferred_element_type=jnp.float32)
+    if kv_bias is not None:
+        # Per-key additive logit bias (natural-log units): proportional
+        # attention for merged K/V tokens (logit += log(group size)).
+        logits = logits + kv_bias.astype(jnp.float32)[None, None, None, :]
     if valid_len is not None:
         mask = _key_mask(valid_len, k.shape[2])
         logits = jnp.where(mask[None, None, None, :], logits, _NEG_INF)
@@ -45,7 +49,7 @@ def naive_attention(q, k, v, valid_len=None):
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
 
 
-def chunked_attention(q, k, v, valid_len=None, chunk=1024):
+def chunked_attention(q, k, v, valid_len=None, chunk=1024, kv_bias=None):
     """Memory-bounded attention: map over query chunks, full softmax per chunk."""
     B, H, N, D = q.shape
     scale = 1.0 / math.sqrt(D)
@@ -59,6 +63,8 @@ def chunked_attention(q, k, v, valid_len=None, chunk=1024):
     def one_chunk(q_c):
         logits = jnp.einsum("bhqd,bhkd->bhqk", q_c, k,
                             preferred_element_type=jnp.float32) * scale
+        if kv_bias is not None:
+            logits = logits + kv_bias.astype(jnp.float32)[None, None, None, :]
         if kmask is not None:
             logits = jnp.where(kmask[None, None, None, :], logits, _NEG_INF)
         w = jax.nn.softmax(logits, axis=-1)
@@ -91,7 +97,8 @@ def _sq(ref):
     return x.reshape(x.shape[1], x.shape[-1])
 
 
-def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
+def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
+                  has_bias):
     """Online-softmax step for one (q-block, k-block) tile.
 
     VPU-lean design (the kernel is ~half VPU-bound at D=64, where both
@@ -111,11 +118,15 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
     so the i/j axes are declared "arbitrary"). This removes the HBM
     round trips of pre-applied roped q/k entirely.
     """
+    off = 0
+    b_ref = None
+    if has_bias:
+        b_ref, off = refs[0], 1
     if has_rope:
-        cq_ref, sq_ref, ck_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, \
-            acc_ref, m_ref, l_ref, qr_ref, ks_ref = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs
+        cq_ref, sq_ref, ck_ref, sk_ref = refs[off:off + 4]
+        off += 4
+        qr_ref, ks_ref = refs[-2:]
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs[off:off + 7]
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -148,6 +159,8 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + b_ref[...]                       # (1, block_k) broadcast
         if apply_mask:
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < vl_ref[0], s, _NEG_INF)
@@ -184,13 +197,17 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope):
                       ).astype(o_ref.dtype).reshape(o_ref.shape)
 
 
-def _flash_single_kernel(vl_ref, *refs, masked, has_rope):
+def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias):
     """One-shot softmax for Nk <= one k-block (frame attention, camera
     trunk): no online-softmax accumulators, no m/l scratch traffic."""
+    off = 0
+    b_ref = None
+    if has_bias:
+        b_ref, off = refs[0], 1
     if has_rope:
-        cq_ref, sq_ref, ck_ref, sk_ref, q_ref, k_ref, v_ref, o_ref = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref = refs
+        cq_ref, sq_ref, ck_ref, sk_ref = refs[off:off + 4]
+        off += 4
+    q_ref, k_ref, v_ref, o_ref = refs[off:off + 4]
     q = _sq(q_ref)                               # (block_q, D)
     k = _sq(k_ref)                               # (Nk_pad, D)
     v = _sq(v_ref)
@@ -199,6 +216,8 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope):
         k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
+    if has_bias:
+        s = s + b_ref[...]
     if masked:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < vl_ref[0], s, _NEG_INF)
@@ -237,7 +256,7 @@ def _rope_tables(cos, sin, scale: float, n_pad: int):
     jax.jit, static_argnames=("block_q", "block_k", "interpret", "layout"),
 )
 def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
-                rope_q=None, rope_k=None, layout="bhnd"):
+                rope_q=None, rope_k=None, layout="bhnd", kv_bias=None):
     """layout="bhnd": q/k/v are (B, H, N, D) - flattened to (B*H, N, D).
     layout="nhd":  q/k/v are (B, N, H, D) - the PROJECTION's natural output
     layout (reshape of (B, N, C) is free). The kernel then reads strided
@@ -329,6 +348,20 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     else:
         vl = jnp.minimum(jnp.asarray(valid_len, jnp.int32), Nk).reshape(1)
 
+    has_bias = kv_bias is not None
+    bias_ops = []
+    bias_specs2 = []
+    bias_specs3 = []
+    if has_bias:
+        # Per-key logit bias in exp2 domain (log2(e) folded like the scale):
+        # the kernel's exp2(s + bias2) equals exp(logits + kv_bias).
+        bias2 = (kv_bias.astype(jnp.float32) * math.log2(math.e))
+        if pad_k:
+            bias2 = jnp.pad(bias2, (0, pad_k))
+        bias_ops = [bias2.reshape(1, -1)]
+        bias_specs2 = [pl.BlockSpec((1, block_k), lambda b, i: (0, 0))]
+        bias_specs3 = [pl.BlockSpec((1, block_k), lambda b, i, j: (0, j))]
+
     rope_ops = []
     rope_specs2 = []
     rope_specs3 = []
@@ -346,10 +379,10 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     if nk_blocks == 1:
         out = pl.pallas_call(
             functools.partial(_flash_single_kernel, masked=masked,
-                              has_rope=has_rope),
+                              has_rope=has_rope, has_bias=has_bias),
             grid=(B * H, nq_blocks),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + rope_specs2 +
-            qkv_specs((q_map2, k_map2)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + bias_specs2 +
+            rope_specs2 + qkv_specs((q_map2, k_map2)),
             out_specs=out_spec2,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
@@ -358,12 +391,13 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                 # the larger tiles that win at these shapes.
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(vl, *rope_ops, qf, kf, vf)
+        )(vl, *bias_ops, *rope_ops, qf, kf, vf)
         return unpack(out)
 
     kernel = functools.partial(
         _flash_kernel, block_k=block_k,
-        num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope)
+        num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope,
+        has_bias=has_bias)
 
     scratch = [
         pltpu.VMEM((block_q, D), jnp.float32),
@@ -386,8 +420,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     out = pl.pallas_call(
         kernel,
         grid=(B * H, nq_blocks, nk_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + rope_specs3 +
-        qkv_specs((q_map3, k_map3)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + bias_specs3 +
+        rope_specs3 + qkv_specs((q_map3, k_map3)),
         out_specs=out_spec3,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -395,14 +429,18 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
             dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(vl, *rope_ops, qf, kf, vf)
+    )(vl, *bias_ops, *rope_ops, qf, kf, vf)
     return unpack(out)
 
 
 def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
                     interpret=False, rope_q=None, rope_k=None,
-                    layout="bhnd"):
+                    layout="bhnd", kv_bias=None):
     """Pallas flash attention forward.
+
+    `kv_bias`: optional (Nk,) f32 per-key additive logit bias (natural-log
+    units), shared across batch/heads - proportional attention for merged
+    K/V tokens (softmax weight scales by exp(bias) = merged group size).
 
     layout="bhnd": q,k,v (B, H, N, D) -> (B, H, N, D).
     layout="nhd":  q,k,v (B, N, H, D) -> (B, N, H, D) - the qkv
@@ -453,30 +491,32 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
         # once per q block, every k block rotated once per (batch, head)
         # on the first q sweep) - no pre-applied roped q/k round trips.
     return _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
-                       rope_q=rope_q, rope_k=rope_k, layout=layout)
+                       rope_q=rope_q, rope_k=rope_k, layout=layout,
+                       kv_bias=kv_bias)
 
 
 def attention(q, k, v, impl: str = "chunked", valid_len=None,
               interpret: bool = False, rope_q=None, rope_k=None,
-              layout: str = "bhnd"):
+              layout: str = "bhnd", kv_bias=None):
     """Dispatch by implementation name. See module docstring.
 
     Only "flash" consumes rope_q/rope_k (in-kernel rotary); callers using
     other impls must pre-apply rope and pass None. layout="nhd" ((B,N,H,D)
     tensors) is native for "flash"; other impls transpose at the boundary
     (they are the test/CPU fallbacks, not the TPU hot path).
+    `kv_bias` (Nk,) adds a per-key logit bias (proportional attention).
     """
     if impl == "flash":
         return flash_attention(q, k, v, valid_len=valid_len,
                                interpret=interpret, rope_q=rope_q,
-                               rope_k=rope_k, layout=layout)
+                               rope_k=rope_k, layout=layout, kv_bias=kv_bias)
     assert rope_q is None
     if layout == "nhd":
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
     if impl == "naive":
-        out = naive_attention(q, k, v, valid_len)
+        out = naive_attention(q, k, v, valid_len, kv_bias=kv_bias)
     elif impl == "chunked":
-        out = chunked_attention(q, k, v, valid_len)
+        out = chunked_attention(q, k, v, valid_len, kv_bias=kv_bias)
     else:
         raise ValueError(f"unknown attention impl {impl!r}")
     return jnp.swapaxes(out, 1, 2) if layout == "nhd" else out
