@@ -96,6 +96,84 @@ class TestSemanticEmbedder:
         assert d["embedding"].shape[:2] == (32, 32)
 
 
+class TestFelzenszwalb:
+    """Native graph-based segmentation: the weight-free SAM2 stand-in
+    (reference semantic_embedder.py:56-67 runs SAM2AutomaticMaskGenerator;
+    here segment proposals must follow image boundaries, not a grid)."""
+
+    @staticmethod
+    def _scene(h=120, w=160, noise=5.0, seed=0):
+        rng = np.random.default_rng(seed)
+        img = np.full((h, w, 3), 40.0, np.float32)
+        rects = {"r": (10, 60, 10, 70), "g": (70, 110, 30, 100),
+                 "b": (25, 100, 110, 150)}
+        for color, (y0, y1, x0, x1) in zip(
+                ([200, 30, 30], [30, 200, 30], [30, 30, 200]),
+                rects.values()):
+            img[y0:y1, x0:x1] = color
+        img += rng.normal(0, noise, img.shape).astype(np.float32)
+        return np.clip(img, 0, 255), rects
+
+    def test_segments_recover_regions(self):
+        from vggt_slam_tpu.native import felzenszwalb as fz
+        if not fz.available():
+            pytest.skip("no native compiler")
+        img, rects = self._scene()
+        labels, n = fz.segment(img, k=300, min_size=100, sigma=0.8)
+        assert labels.shape == img.shape[:2] and n >= 4
+        for y0, y1, x0, x1 in rects.values():
+            gt = np.zeros(img.shape[:2], bool)
+            gt[y0:y1, x0:x1] = True
+            best = max((((labels == lab) & gt).sum() /
+                        ((labels == lab) | gt).sum())
+                       for lab in np.unique(labels))
+            assert best > 0.85, best
+
+    def test_embeddings_follow_segment_boundaries(self):
+        """Dense embeddings from the default (felzenszwalb) proposer must
+        be segment-shaped: constant within a region, different across the
+        region boundary - the property the grid fallback lacks."""
+        from vggt_slam_tpu.native import felzenszwalb as fz
+        from vggt_slam_tpu.semantic.embedder import (
+            SemanticEmbedder, felzenszwalb_mask_generator)
+        if not fz.available():
+            pytest.skip("no native compiler")
+        img, _ = self._scene(noise=2.0)
+        emb = SemanticEmbedder(target_hw=img.shape[:2])
+        assert emb.mask_generator is felzenszwalb_mask_generator
+        out = emb.embed_image(img / 255.0)
+        # interior of the red rectangle: one embedding vector
+        inner = out[20:50, 20:60].reshape(-1, out.shape[-1])
+        assert np.abs(inner - inner[0]).max() < 1e-6
+        # across the boundary to background: different vector
+        bg = out[5, 5]
+        assert np.abs(inner[0] - bg).max() > 1e-3
+
+    @pytest.mark.slow
+    def test_multiproc_matches_serial(self, tmp_path):
+        import cv2
+        from vggt_slam_tpu.semantic.embedder import (
+            SemanticEmbedder, embed_folder_multiproc)
+        src = tmp_path / "imgs"
+        src.mkdir()
+        rng = np.random.default_rng(3)
+        for i in range(4):
+            cv2.imwrite(str(src / f"{i}.png"),
+                        rng.integers(0, 255, (40, 50, 3)).astype(np.uint8))
+        serial = tmp_path / "serial"
+        SemanticEmbedder(target_hw=(32, 32)).embed_folder_to_npz(
+            str(src), str(serial))
+        par = tmp_path / "par"
+        embed_folder_multiproc(str(src), str(par), num_procs=2,
+                               target_size=32)
+        files = sorted(os.listdir(serial))
+        assert files == sorted(os.listdir(par))
+        for f in files:
+            a = np.load(serial / f)["embedding"]
+            b = np.load(par / f)["embedding"]
+            np.testing.assert_array_equal(a, b)
+
+
 class TestMetacam:
     def test_process_point_cloud_zup(self):
         from vggt_slam_tpu.tools.metacam import process_point_cloud

@@ -38,6 +38,32 @@ def grid_mask_generator(image_rgb: np.ndarray, grid: int = 8):
     return masks
 
 
+def felzenszwalb_mask_generator(image_rgb: np.ndarray, k: float = 300.0,
+                                min_size: int = 100, sigma: float = 0.8,
+                                max_masks: int = 64):
+    """Weight-free segment proposer: graph-based segmentation (native C++).
+
+    Stands in for SAM2 automatic mask generation (reference
+    semantic_embedder.py:56-67) where no checkpoint is available: regions
+    follow image boundaries, so painted embeddings are segment-shaped
+    rather than grid-shaped. min_size mirrors SAM2's
+    min_mask_region_area=100; the largest `max_masks` components are kept
+    (SAM2 caps proposals via its point grid similarly).
+    """
+    from vggt_slam_tpu.native import felzenszwalb as _fz
+
+    img = image_rgb
+    if img.dtype != np.float32:
+        img = img.astype(np.float32)
+    if img.max() <= 1.5:
+        img = img * 255.0  # published k values assume [0,255] units
+    labels, n = _fz.segment(img, k=k, min_size=min_size, sigma=sigma)
+    areas = np.bincount(labels.reshape(-1), minlength=n)
+    keep = np.argsort(-areas)[:max_masks]
+    return [{"segmentation": labels == lab, "area": int(areas[lab])}
+            for lab in keep if areas[lab] >= min_size]
+
+
 def color_hash_encoder(crops: np.ndarray, dim: int = 64) -> np.ndarray:
     """Fallback crop encoder: random-projected color statistics (L2-normed)."""
     stats = []
@@ -89,7 +115,13 @@ class SemanticEmbedder:
                  crop_encoder: Optional[Callable] = None,
                  target_hw: tuple[int, int] = (518, 518),
                  crop_size: int = 224):
-        self.mask_generator = mask_generator or grid_mask_generator
+        if mask_generator is None:
+            # Segment-shaped proposals by default (SAM2 stand-in); the
+            # grid is only the no-compiler fallback.
+            from vggt_slam_tpu.native import felzenszwalb as _fz
+            mask_generator = (felzenszwalb_mask_generator if _fz.available()
+                              else grid_mask_generator)
+        self.mask_generator = mask_generator
         self.crop_encoder = crop_encoder or color_hash_encoder
         self.target_hw = target_hw
         self.crop_size = crop_size
@@ -159,6 +191,47 @@ class SemanticEmbedder:
         return done
 
 
+def _mp_worker(shard_index: int, num_shards: int, image_dir: str,
+               out_dir: str, limit, clip_model_dir, target_size: int):
+    """Shared-nothing worker: builds its own embedder (models are not
+    picklable/fork-safe) and processes images with idx % n == i."""
+    crop_encoder = None
+    if clip_model_dir:
+        crop_encoder, _ = make_hf_clip_encoder(clip_model_dir)
+    emb = SemanticEmbedder(crop_encoder=crop_encoder,
+                           target_hw=(target_size, target_size))
+    n = emb.embed_folder_to_npz(image_dir, out_dir, limit=limit,
+                                shard_index=shard_index,
+                                num_shards=num_shards)
+    print(f"[shard {shard_index}/{num_shards}] embedded {n} images")
+
+
+def embed_folder_multiproc(image_dir: str, out_dir: str, num_procs: int,
+                           limit=None, clip_model_dir=None,
+                           target_size: int = 518) -> None:
+    """Process-parallel folder embedding: round-robin image sharding over
+    `num_procs` spawned workers writing npz to a shared out_dir - the
+    reference's multi-GPU worker pool (semantic_embedder.py:480-566) with
+    processes standing in for GPU ids (this host pins accelerator work to
+    the single tunnel chip; CPU-side masks/crops are the bottleneck).
+    """
+    import multiprocessing as mp
+
+    os.makedirs(out_dir, exist_ok=True)
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_mp_worker,
+                         args=(i, num_procs, image_dir, out_dir, limit,
+                               clip_model_dir, target_size))
+             for i in range(num_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    bad = [p.exitcode for p in procs if p.exitcode != 0]
+    if bad:
+        raise RuntimeError(f"embedder worker(s) failed: exit codes {bad}")
+
+
 def main():
     import argparse
 
@@ -172,7 +245,17 @@ def main():
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--num_procs", type=int, default=1,
+                   help="spawn N worker processes sharding the folder "
+                        "round-robin (reference's multi-GPU pool)")
     args = p.parse_args()
+
+    if args.num_procs > 1:
+        embed_folder_multiproc(args.image_dir, args.out_dir, args.num_procs,
+                               limit=args.limit,
+                               clip_model_dir=args.clip_model_dir,
+                               target_size=args.target_size)
+        return
 
     crop_encoder = None
     if args.clip_model_dir:
