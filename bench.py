@@ -64,6 +64,10 @@ def main():
     on_tpu = backend == "tpu"
     stride = int(os.environ.get("BENCH_KV_STRIDE", "4"))
     merge = os.environ.get("BENCH_KV_MERGE", "sim")
+    # Global-attention QK^T numerics (both operating points): bf16 by
+    # default, matching the CLI; BENCH_QK_INT8=1 opts into the in-kernel
+    # int8 path (measured slower on the exact path - config.global_qk_int8).
+    qk_int8 = os.environ.get("BENCH_QK_INT8", "0") == "1"
     # enable_point_head=False matches the CLI's default depth-unprojection
     # operating point: the point head's map is never consumed there
     # (reference solver.py:249-256), so the SLAM step doesn't pay it.
@@ -74,14 +78,15 @@ def main():
         if not on_tpu:
             # CPU fallback so the bench still runs everywhere (tiny model).
             return VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
-                                   global_merge=merge,
+                                   global_merge=merge, global_qk_int8=qk_int8,
                                    enable_point_head=point_head)
         return VGGTConfig.vggt_1b(attn_impl="flash",
                                   global_kv_stride=stride, global_merge=merge,
+                                  global_qk_int8=qk_int8,
                                   enable_point_head=point_head)
 
     cfg = make_cfg(stride, merge)
-    log(f"global_kv_stride: {stride}; merge: {merge}; "
+    log(f"global_kv_stride: {stride}; merge: {merge}; qk_int8: {qk_int8}; "
         f"point_head: {point_head}; cpu_fallback: {not on_tpu}")
 
     model = VGGT(cfg)
@@ -198,7 +203,8 @@ def main():
         "vs_baseline": round(fps / 20.0, 3),
         "exact_fps": round(exact_fps, 2),
         "exact_vs_baseline": round(exact_fps / 20.0, 3),
-        "operating_point": f"global_kv_stride={stride},merge={merge}",
+        "operating_point": f"global_kv_stride={stride},merge={merge},"
+                           f"qk_int8={int(qk_int8)}",
     }))
 
 

@@ -98,6 +98,52 @@ class TestAgreement:
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
                                    atol=5e-5)
 
+    def test_qk_int8_multiblock_matches_naive(self):
+        # int8 QK^T (in-kernel quantization, per-(b,h) scales) on the
+        # multi-k-block path: full-rank attention, quantization-grade
+        # error. NOTE on tolerances: at short N the softmax concentrates,
+        # so per-element error is larger than at the production N~34k
+        # shape (measured max ~1e-3 there, scripts/bench_int8_inkernel.py);
+        # here we bound max error loosely and mean error tightly.
+        rng = np.random.default_rng(10)
+        q, k, v = make_qkv(rng, B=1, H=3, N=512, D=64)
+        out_n = attn.naive_attention(q, k, v)
+        out_f = attn.flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True, qk_int8=True)
+        err = np.abs(np.asarray(out_f) - np.asarray(out_n))
+        assert err.max() < 3e-2, err.max()
+        assert err.mean() < 1.5e-3, err.mean()
+
+    def test_qk_int8_with_rope_valid_len_and_bias(self):
+        # int8 composed with in-kernel rope + suffix masking + kv bias -
+        # the exact configuration of the production global blocks.
+        from vggt_slam_tpu.models.vggt.modules import apply_rope, rope_2d_angles
+        rng = np.random.default_rng(11)
+        q, k, v = make_qkv(rng, B=1, H=2, N=384, D=64)
+        pos = jnp.asarray(rng.uniform(0, 20, size=(384, 2)), jnp.float32)
+        cos, sin = rope_2d_angles(pos, 64, base=100.0)
+        bias = jnp.asarray(rng.uniform(0, 1.5, size=(384,)), jnp.float32)
+        qr, kr = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        out_ref = attn.naive_attention(qr, kr[:, :, :300], v[:, :, :300],
+                                       kv_bias=bias[:300])
+        out_f = attn.flash_attention(q, k, v, valid_len=jnp.int32(300),
+                                     block_q=128, block_k=128, interpret=True,
+                                     rope_q=(cos, sin), rope_k=(cos, sin),
+                                     kv_bias=bias, qk_int8=True)
+        err = np.abs(np.asarray(out_f) - np.asarray(out_ref))
+        assert err.max() < 3e-2, err.max()
+        assert err.mean() < 1.5e-3, err.mean()
+
+    def test_qk_int8_single_block_stays_exact(self):
+        # On the one-shot (single k-block) path the flag is inert - the
+        # output is bit-compatible with the bf16 kernel's tolerance.
+        rng = np.random.default_rng(12)
+        q, k, v = make_qkv(rng, B=1, H=2, N=300, D=64)
+        out_n = attn.naive_attention(q, k, v)
+        out_f = attn.flash_attention(q, k, v, interpret=True, qk_int8=True)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                                   atol=2e-5)
+
     def test_bf16_inputs(self):
         rng = np.random.default_rng(4)
         q, k, v = make_qkv(rng, B=1, H=1, N=256, D=64, dtype=jnp.bfloat16)

@@ -7,6 +7,7 @@ reference emits (x y z + packed float rgb), plus a binary PLY writer.
 """
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -33,6 +34,9 @@ def unpack_rgb(rgb_f32: np.ndarray) -> np.ndarray:
 def write_pcd(path: str, points: np.ndarray, colors: np.ndarray | None = None,
               binary: bool = True) -> None:
     """Write (N,3) points (+ optional (N,3) colors) as a PCL .pcd file."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
     n = pts.shape[0]
     has_rgb = colors is not None

@@ -68,6 +68,11 @@ parser.add_argument("--global_merge", type=str, default="sim",
                          "--global_kv_stride > 1: 'sim' = ToMe-style "
                          "similarity merging with proportional attention "
                          "(FastVGGT's method); 'stride' = plain subsampling")
+parser.add_argument("--qk_int8", action="store_true",
+                    help="run global-attention QK^T on the in-kernel int8 "
+                         "MXU path (measured: +1.2%% FPS merged, -3.6%% "
+                         "exact vs the default bf16; max |err| ~1e-3 vs "
+                         "f32 instead of ~2e-4 - see config.global_qk_int8)")
 parser.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the run here")
 parser.add_argument("--no_pipeline", action="store_true",
@@ -100,13 +105,15 @@ def build_model_fn(args):
     # per-submap readback entirely. --use_point_map re-enables it.
     point_head = bool(getattr(args, "use_point_map", False))
     merge = getattr(args, "global_merge", "sim")
+    qk_int8 = bool(getattr(args, "qk_int8", False))
     if args.model_size == "tiny":
         cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
-                              global_merge=merge,
+                              global_merge=merge, global_qk_int8=qk_int8,
                               enable_point_head=point_head)
     else:
         cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
                                  global_kv_stride=stride, global_merge=merge,
+                                 global_qk_int8=qk_int8,
                                  enable_point_head=point_head)
     model = VGGT(cfg)
 

@@ -72,6 +72,18 @@ class VGGTConfig:
     #   "stride": plain subsampling - dropped tokens simply vanish
     #             (round-1 behavior, kept for comparison).
     global_merge: str = "sim"
+    # int8 QK^T in the GLOBAL attention blocks (flash impl only): q/k tiles
+    # quantize to int8 in-kernel (per-(batch,head) scales) and the logits
+    # matmul runs on the MXU's 2x-rate int8 path. Attention stays full-rank
+    # (every token attends to every token) - a numerics choice like bf16,
+    # not a sparsification. OFF by default: the isolated-kernel probe's
+    # ~12% win (scripts/bench_int8_inkernel.py) does NOT transfer to the
+    # production kernel (in-kernel rope + masking + per-key bias make it
+    # VPU-bound, and dequant adds a per-logit multiply) - end-to-end A/B on
+    # the same revision measured exact 12.18 vs 12.64 FPS (int8 SLOWER by
+    # 3.6%) and merged 20.44 vs 20.20 (+1.2%, not worth the extra ~1e-3
+    # logit error). Kept as a tested opt-in (--qk_int8).
+    global_qk_int8: bool = False
 
     @property
     def tokens_per_frame_special(self) -> int:

@@ -97,8 +97,13 @@ def _sq(ref):
     return x.reshape(x.shape[1], x.shape[-1])
 
 
+def _quant_i8(x, inv):
+    """f32 -> int8 with symmetric per-(batch,head) scale (inv = 127/amax)."""
+    return jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+
+
 def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
-                  has_bias):
+                  has_bias, qk_int8=False):
     """Online-softmax step for one (q-block, k-block) tile.
 
     VPU-lean design (the kernel is ~half VPU-bound at D=64, where both
@@ -120,13 +125,19 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
     """
     off = 0
     b_ref = None
+    sc_ref = None
+    if qk_int8:
+        sc_ref, off = refs[0], 1
     if has_bias:
-        b_ref, off = refs[0], 1
+        b_ref = refs[off]
+        off += 1
     if has_rope:
         cq_ref, sq_ref, ck_ref, sk_ref = refs[off:off + 4]
         off += 4
+    if has_rope or qk_int8:
         qr_ref, ks_ref = refs[-2:]
     q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs[off:off + 7]
+    b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -136,20 +147,30 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    if has_rope:
+    if has_rope or qk_int8:
+        # q/k tile preparation caches (see docstring): rope and/or int8
+        # quantization run once per q block / once per (batch, head) k
+        # block, not once per grid step.
         @pl.when(j == 0)
-        def _rope_q():
-            qr_ref[:] = _rope_in_kernel(_sq(q_ref), cq_ref[...], sq_ref[...])
+        def _prep_q():
+            qf = (_rope_in_kernel(_sq(q_ref), cq_ref[...], sq_ref[...])
+                  if has_rope else _sq(q_ref)).astype(jnp.float32)
+            qr_ref[:] = _quant_i8(qf, sc_ref[0, b]) if qk_int8 \
+                else qf.astype(qr_ref.dtype)
 
         @pl.when(i == 0)
-        def _rope_k():
-            ks_ref[pl.ds(j * block_k, block_k)] = _rope_in_kernel(
-                _sq(k_ref), ck_ref[...], sk_ref[...])
+        def _prep_k():
+            kf = (_rope_in_kernel(_sq(k_ref), ck_ref[...], sk_ref[...])
+                  if has_rope else _sq(k_ref)).astype(jnp.float32)
+            ks_ref[pl.ds(j * block_k, block_k)] = \
+                _quant_i8(kf, sc_ref[1, b]) if qk_int8 \
+                else kf.astype(ks_ref.dtype)
 
     def step(apply_mask):
-        # Keep matmul operands in bf16: the MXU runs bf16 x bf16 -> f32 at
-        # full rate, while f32 operands drop it ~8x. Softmax stats stay f32.
-        if has_rope:
+        # Keep matmul operands in bf16 (or int8 with `qk_int8`): the MXU
+        # runs bf16 x bf16 -> f32 at full rate and int8 x int8 -> int32 at
+        # 2x that, while f32 operands drop it ~8x. Softmax stats stay f32.
+        if has_rope or qk_int8:
             q = qr_ref[:]                            # (block_q, D)
             k = ks_ref[pl.ds(j * block_k, block_k)]  # (block_k, D)
         else:
@@ -157,8 +178,13 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
             k = _sq(k_ref)                           # (block_k, D)
         v = _sq(v_ref)                               # (block_k, D)
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if qk_int8 else jnp.float32)
+        if qk_int8:
+            # Dequantize: sc[2] folds the q/k scales, softmax scale and
+            # log2(e) into one per-(batch,head) constant.
+            s = s.astype(jnp.float32) * sc_ref[2, b]
         if has_bias:
             s = s + b_ref[...]                       # (1, block_k) broadcast
         if apply_mask:
@@ -253,10 +279,12 @@ def _rope_tables(cos, sin, scale: float, n_pad: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret", "layout"),
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "layout",
+                              "qk_int8"),
 )
 def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
-                rope_q=None, rope_k=None, layout="bhnd", kv_bias=None):
+                rope_q=None, rope_k=None, layout="bhnd", kv_bias=None,
+                qk_int8=False):
     """layout="bhnd": q/k/v are (B, H, N, D) - flattened to (B*H, N, D).
     layout="nhd":  q/k/v are (B, N, H, D) - the PROJECTION's natural output
     layout (reshape of (B, N, C) is free). The kernel then reads strided
@@ -272,13 +300,41 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         Nk = k.shape[2]
         seq_ax = 2
     has_rope = rope_q is not None
+    # int8 QK^T only pays off on the multi-k-block (global attention) path;
+    # the one-shot kernel (frame attention, K=64-geometry bound) measured
+    # int8 ~= bf16 in round 1, so it silently stays bf16 there.
+    use_int8 = bool(qk_int8) and (Nk + (-Nk) % block_k) // block_k > 1
     # Fold softmax scale and log2(e) into q (or into its rope tables) so the
     # kernel runs an exp2-based online softmax with zero per-logit scaling
     # work. One rounding of q (bf16) - same order as the bf16 storage error
-    # already accepted.
+    # already accepted. (With int8 QK^T the fold lives in the per-(b,h)
+    # dequant constant instead - see sc below.)
     c_scale = math.log2(math.e) / math.sqrt(D)
-    if not has_rope:
+    if not has_rope and not use_int8:
         q = (q.astype(jnp.float32) * c_scale).astype(q.dtype)
+
+    sc_ops = []
+    if use_int8:
+        # Per-(batch, head) symmetric quantization scales. With rope the
+        # kernel quantizes AFTER rotating, so the bound must cover any
+        # rotation of each (x1, x2) pair: max pair norm (rotation preserves
+        # it, and each rotated component is <= the pair norm). Without rope
+        # the plain max-abs is tighter.
+        red_ax = (seq_ax, 3)  # either layout leaves (B, H)
+
+        def amax_bound(x):
+            xf = x.astype(jnp.float32)
+            if has_rope:
+                x1, x2 = jnp.split(xf, 2, axis=-1)
+                mag = jnp.sqrt(x1 * x1 + x2 * x2)
+            else:
+                mag = jnp.abs(xf)
+            return jnp.maximum(jnp.max(mag, axis=red_ax), 1e-6).reshape(-1)
+
+        sq_s = amax_bound(q)
+        sk_s = amax_bound(k)
+        sc_ops = [jnp.stack([127.0 / sq_s, 127.0 / sk_s,
+                             sq_s * sk_s * (c_scale / (127.0 * 127.0))])]
 
     pad_q = (-Nq) % block_q
     pad_k = (-Nk) % block_k
@@ -366,7 +422,7 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     rope_specs2 = []
     rope_specs3 = []
     if has_rope:
-        Cq, Sq = _rope_tables(*rope_q, c_scale, pad_q)
+        Cq, Sq = _rope_tables(*rope_q, 1.0 if use_int8 else c_scale, pad_q)
         Ck, Sk = _rope_tables(*rope_k, 1.0, pad_k)
         rope_ops = [Cq, Sq, Ck, Sk]
         rq_spec2 = pl.BlockSpec((block_q, D), lambda b, i: (i, 0))
@@ -397,18 +453,20 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     kernel = functools.partial(
         _flash_kernel, block_k=block_k,
         num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope,
-        has_bias=has_bias)
+        has_bias=has_bias, qk_int8=use_int8)
 
     scratch = [
         pltpu.VMEM((block_q, D), jnp.float32),
         pltpu.VMEM((block_q, 128), jnp.float32),
         pltpu.VMEM((block_q, 128), jnp.float32),
     ]
-    if has_rope:
-        # roped-q cache (per q block) + roped-k cache over ALL k blocks
+    sc_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if use_int8 else []
+    if has_rope or use_int8:
+        # roped/quantized q cache (per q block) + k cache over ALL k blocks
         # (filled on the first q sweep, reused by every later one)
-        scratch += [pltpu.VMEM((block_q, D), q.dtype),
-                    pltpu.VMEM((nk_blocks * block_k, D), q.dtype)]
+        cache_dt = jnp.int8 if use_int8 else q.dtype
+        scratch += [pltpu.VMEM((block_q, D), cache_dt),
+                    pltpu.VMEM((nk_blocks * block_k, D), cache_dt)]
         # the k cache carries state across the i axis, so i is sequential
         semantics = ("parallel", "arbitrary", "arbitrary")
     else:
@@ -420,8 +478,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     out = pl.pallas_call(
         kernel,
         grid=(B * H, nq_blocks, nk_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + bias_specs3 +
-        rope_specs3 + qkv_specs((q_map3, k_map3)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + sc_specs +
+        bias_specs3 + rope_specs3 + qkv_specs((q_map3, k_map3)),
         out_specs=out_spec3,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -429,14 +487,25 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
             dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(vl, *bias_ops, *rope_ops, qf, kf, vf)
+    )(vl, *sc_ops, *bias_ops, *rope_ops, qf, kf, vf)
     return unpack(out)
 
 
 def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
                     interpret=False, rope_q=None, rope_k=None,
-                    layout="bhnd", kv_bias=None):
+                    layout="bhnd", kv_bias=None, qk_int8=False):
     """Pallas flash attention forward.
+
+    `qk_int8`: quantize the (roped) q/k tiles to int8 IN-KERNEL with
+    per-(batch, head) symmetric scales and run QK^T on the MXU's 2x-rate
+    int8 path (int32 accumulation, dequant folded into one per-(b,h)
+    constant). Only takes effect on the multi-k-block (global attention)
+    path; max error ~1e-3 vs f32 at production N (bf16 kernel: ~2e-4;
+    scripts/bench_int8_inkernel.py). Attention stays full-rank. NOT the
+    default: the isolated-kernel ~12% win does not survive the production
+    kernel's rope/mask/bias VPU load - end-to-end A/B measured the exact
+    path 3.6% SLOWER with int8 (ARCHITECTURE.md section 9). AV stays bf16
+    always: quantizing p each step measured 44.8 vs 63.5 TF/s.
 
     `kv_bias`: optional (Nk,) f32 per-key additive logit bias (natural-log
     units), shared across batch/heads - proportional attention for merged
@@ -492,12 +561,12 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
         # on the first q sweep) - no pre-applied roped q/k round trips.
     return _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                        rope_q=rope_q, rope_k=rope_k, layout=layout,
-                       kv_bias=kv_bias)
+                       kv_bias=kv_bias, qk_int8=qk_int8)
 
 
 def attention(q, k, v, impl: str = "chunked", valid_len=None,
               interpret: bool = False, rope_q=None, rope_k=None,
-              layout: str = "bhnd", kv_bias=None):
+              layout: str = "bhnd", kv_bias=None, qk_int8: bool = False):
     """Dispatch by implementation name. See module docstring.
 
     Only "flash" consumes rope_q/rope_k (in-kernel rotary); callers using
@@ -505,11 +574,15 @@ def attention(q, k, v, impl: str = "chunked", valid_len=None,
     tensors) is native for "flash"; other impls transpose at the boundary
     (they are the test/CPU fallbacks, not the TPU hot path).
     `kv_bias` (Nk,) adds a per-key logit bias (proportional attention).
+    `qk_int8` (flash only) runs QK^T on the int8 MXU path - see
+    flash_attention; other impls ignore it (they are the f32/bf16
+    reference semantics the int8 path is tested against).
     """
     if impl == "flash":
         return flash_attention(q, k, v, valid_len=valid_len,
                                interpret=interpret, rope_q=rope_q,
-                               rope_k=rope_k, layout=layout, kv_bias=kv_bias)
+                               rope_k=rope_k, layout=layout, kv_bias=kv_bias,
+                               qk_int8=qk_int8)
     assert rope_q is None
     if layout == "nhd":
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))

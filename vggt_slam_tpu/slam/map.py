@@ -86,6 +86,9 @@ class GraphMap:
     def write_poses_to_file(self, file_name: str) -> None:
         """TUM format: frame_id x y z qx qy qz qw."""
         import jax.numpy as jnp
+        parent = os.path.dirname(file_name)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(file_name, "w") as f:
             for submap in self.ordered_submaps_by_key():
                 poses = np.asarray(submap.get_all_poses_world(

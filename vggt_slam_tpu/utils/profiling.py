@@ -92,12 +92,36 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_comp") -> None:
     bucket growth (~25 s each on the TPU); with the persistent cache those
     compiles happen once per machine instead of once per run. Safe to call
     multiple times.
+
+    Cold-start seeding: the repo ships pre-compiled executables for the
+    flagship programs (the S=33 VGGT-1B forward at both operating points,
+    SALAD, the pose-graph solve) under `warmcache/` — a fresh machine of
+    the same image (same jax/libtpu, same device kind) would otherwise pay
+    ~25 min of XLA compiles on its first run (measured: BENCH_r01.json
+    tail). Any seed entries missing from `path` are hard-linked/copied in
+    before the cache is enabled; unknown keys are simply never read.
     """
     import os
+    import shutil
 
     import jax
 
     os.makedirs(path, exist_ok=True)
+    seed = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "warmcache")
+    if os.path.isdir(seed):
+        for name in os.listdir(seed):
+            dst = os.path.join(path, name)
+            if not os.path.exists(dst):
+                src = os.path.join(seed, name)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    try:
+                        shutil.copy2(src, dst)
+                    except OSError as e:
+                        print(f"[profiling] warmcache seed failed: {e}")
+                        break
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
