@@ -4,7 +4,8 @@ from vggt_slam_tpu.evals.ate import ate, associate, ATEResult
 from vggt_slam_tpu.evals.geometry_eval import (backproject_depth, chamfer,
                                                icp_point_to_point)
 from vggt_slam_tpu.tools.occupancy import (build_occupancy_from_pointcloud,
-                                           segment_is_navigable)
+                                           segment_is_navigable,
+                                           segment_sample_overlay)
 
 
 def make_tum(ts, centers):
@@ -113,6 +114,22 @@ class TestOccupancy:
         through_wall = segment_is_navigable([0.25, 0.25, 0], [1.25, 0.25, 0],
                                             0.5, blocked)
         assert not through_wall
+
+    def test_segment_sample_overlay(self):
+        blocked = {(0, 0): False, (1, 0): True, (2, 0): False}
+        cell_z = {k: 0.25 for k in blocked}
+        traj = np.array([[0.25, 0.25, 0.0], [1.25, 0.25, 0.0]], np.float32)
+        pts, cols, nav = segment_sample_overlay(
+            traj, 0.5, blocked, cell_z, floor_z=0.0)
+        assert nav == [False]
+        assert pts.shape == cols.shape and pts.shape[1] == 3
+        # samples snap to cell-center z + 0.2 for visibility
+        assert np.allclose(pts[:, 2], 0.45)
+        green = np.all(cols == np.array([0.0, 1.0, 0.0]), axis=1)
+        assert green.any() and (~green).any()  # free start, blocked middle
+        # sample in the blocked cell is the purple one
+        in_blocked = np.floor(pts[:, 0] / 0.5).astype(int) == 1
+        assert not green[in_blocked].any()
 
 
 class TestDense7Scenes:

@@ -197,3 +197,51 @@ class TestVisualizeResults:
         out, _ = percentile_bbox_crop(pts, None, 0.5, 99.5)
         assert out.shape[0] < 1000
         assert np.abs(out).max() < 50
+
+    def test_load_pose_file_and_images(self, tmp_path):
+        import cv2
+        from vggt_slam_tpu.tools.visualize_results import (
+            load_matched_images, load_pose_file)
+
+        # two frames: identity and a 90-degree yaw with translation
+        s = np.sqrt(0.5)
+        lines = ["# comment",
+                 "frame_a 0 0 0 0 0 0 1",
+                 f"frame_b 1 2 3 0 0 {s:.8f} {s:.8f}"]
+        pose_path = tmp_path / "poses.txt"
+        pose_path.write_text("\n".join(lines) + "\n")
+        extr, ids = load_pose_file(str(pose_path))
+        assert ids == ["frame_a", "frame_b"]
+        assert extr.shape == (2, 3, 4)
+        assert np.allclose(extr[0], np.eye(4)[:3])
+        R_expected = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], float)
+        assert np.allclose(extr[1, :, :3], R_expected, atol=1e-6)
+        assert np.allclose(extr[1, :, 3], [1, 2, 3])
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        for i, stem in enumerate(["frame_a", "frame_b"]):
+            cv2.imwrite(str(img_dir / f"{stem}.png"),
+                        np.full((12, 16, 3), 40 * (i + 1), np.uint8))
+        imgs = load_matched_images(str(img_dir), ids)
+        assert imgs.shape == (2, 3, 12, 16)
+        assert np.allclose(imgs[1], 80 / 255.0, atol=1e-2)
+
+
+class TestSynthSequence:
+    def test_loop_groundtruth_matches_frames(self, tmp_path):
+        """On the loop path, t=0.25 and t=0.75 share x but have opposite-
+        sign y. The old abs(y) viewport indexing rendered those frames
+        identical while groundtruth said the camera moved — this guards
+        the signed-y fix."""
+        import cv2
+        from vggt_slam_tpu.tools.synth_sequence import generate_sequence
+
+        names = generate_sequence(str(tmp_path / "seq"), n_frames=9,
+                                  size=(160, 120), loop=True, step_px=30.0,
+                                  tum_layout=True)
+        gt = np.loadtxt(tmp_path / "seq" / "groundtruth.txt")
+        assert gt[:, 2].min() < 0  # signed y reaches negative
+        f2 = cv2.imread(names[2]).astype(np.int32)
+        f6 = cv2.imread(names[6]).astype(np.int32)
+        assert np.abs(f2 - f6).mean() > 1.0

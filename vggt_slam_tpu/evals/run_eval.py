@@ -57,8 +57,10 @@ def run_sequence(seq_dir: str, args, trial: int, log_path: str) -> dict:
         cmd += ["--downsample_factor", str(args.downsample_factor)]
     if args.model_size != "1b":
         cmd += ["--model_size", args.model_size]
-    if args.global_kv_stride != 1:
-        cmd += ["--global_kv_stride", str(args.global_kv_stride)]
+    # Always pass the stride: main.py's default is the merged operating
+    # point (4), so omitting the flag would silently override a stride-1
+    # (exact attention) request from this harness.
+    cmd += ["--global_kv_stride", str(args.global_kv_stride)]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0

@@ -22,18 +22,38 @@ import numpy as np
 
 def make_texture(height: int, width: int, seed: int = 0,
                  blur_sigma: float = 3.0) -> np.ndarray:
-    """Procedural RGB texture with enough corners for Shi-Tomasi/LK."""
+    """Procedural RGB texture with enough corners for Shi-Tomasi/LK.
+
+    Must be globally DISTINCTIVE, not just corner-rich: pure blurred noise
+    is self-similar, so pyramidal LK locks onto false nearby matches and
+    reports a bounded ~30 px displacement no matter how far the viewport
+    actually moved - the keyframe gate then never fires. Layering a
+    low-frequency color field (unique region appearance) with sparse large
+    high-contrast shapes plus light noise keeps matches anchored to the
+    true texture location."""
     import cv2
 
     rng = np.random.default_rng(seed)
-    tex = rng.uniform(0, 255, (height, width, 3)).astype(np.uint8)
-    tex = cv2.GaussianBlur(tex, (0, 0), blur_sigma)
-    # add high-contrast blobs so corner detection is well-fed
-    for _ in range(60):
+    # Low-frequency field: a tiny random image smoothly upsampled so every
+    # neighborhood of the full texture has a distinct color context.
+    coarse = rng.uniform(0, 255, (9, 9, 3)).astype(np.uint8)
+    tex = cv2.resize(coarse, (width, height), interpolation=cv2.INTER_CUBIC)
+    # Sparse large unique shapes: strong corners with unambiguous identity.
+    n_shapes = max(40, (height * width) // 40000)
+    for _ in range(n_shapes):
         c = tuple(int(v) for v in rng.uniform((0, 0), (width, height)))
-        cv2.circle(tex, c, int(rng.uniform(5, 25)),
-                   tuple(int(v) for v in rng.uniform(0, 255, 3)), -1)
-    return tex
+        color = tuple(int(v) for v in rng.uniform(0, 255, 3))
+        r = int(rng.uniform(18, 70))
+        if rng.uniform() < 0.5:
+            cv2.circle(tex, c, r, color, -1)
+        else:
+            cv2.rectangle(tex, (c[0] - r, c[1] - r), (c[0] + r, c[1] + r),
+                          color, -1)
+    # Light high-frequency noise feeds Shi-Tomasi without washing out the
+    # large-scale structure.
+    noise = rng.normal(0, 18, (height, width, 3))
+    tex = np.clip(tex.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+    return cv2.GaussianBlur(tex, (0, 0), max(blur_sigma * 0.5, 0.8))
 
 
 def camera_path(n_frames: int, span_x: float, span_y: float,
@@ -65,10 +85,15 @@ def generate_sequence(out_dir: str, n_frames: int = 60,
 
     w, h = size
     span = step_px * n_frames
-    tex = make_texture(h + int(abs(span) * 0.6) + 200,
+    span_y = span * 0.15
+    tex = make_texture(h + int(span_y) + 200,
                        w + int(span) + 200, seed=seed)
     path = camera_path(n_frames, span_x=span * (0.5 if loop else 1.0),
-                       span_y=span * 0.15, loop=loop)
+                       span_y=span_y, loop=loop)
+    # Loop paths swing y negative; bias the viewport origin so SIGNED y
+    # indexes the texture (an abs() here would fold the path and desync
+    # the written groundtruth from the actual camera motion).
+    y_bias = int(np.ceil(max(0.0, -path[:, 1].min())))
     img_dir = os.path.join(out_dir, "rgb") if tum_layout else out_dir
     os.makedirs(img_dir, exist_ok=True)
     names = []
@@ -76,7 +101,7 @@ def generate_sequence(out_dir: str, n_frames: int = 60,
     gt_rows = []
     for i, (x, y) in enumerate(path):
         x0 = int(100 + x)
-        y0 = int(100 + abs(y))
+        y0 = int(100 + y_bias + y)
         frame = tex[y0:y0 + h, x0:x0 + w]
         stamp = t0 + i / 30.0
         base = f"{stamp:.6f}.png" if tum_layout else f"{i:04d}.png"

@@ -86,10 +86,15 @@ def show_voxels(voxel_map, port: int = 8081, name: str = "semantic_voxels",
                 point_size: float = 0.01, color_mode: str = "pca",
                 max_voxels: int | None = 20000, query_voxel_indices=None,
                 base_color=(0.75, 0.75, 0.75), highlight_color=(1.0, 0.0, 0.0),
-                keep_alive: bool = True, x_offset: float = 0.0):
-    """Render a SemanticVoxelMap as a viser point cloud
-    (reference semantic_voxel.py:207-312, points mode). `x_offset` shifts
-    the layer for side-by-side views (visualize_results.py:242-246)."""
+                keep_alive: bool = True, x_offset: float = 0.0,
+                render_mode: str = "points", cube_opacity: float = 0.5,
+                server=None):
+    """Render a SemanticVoxelMap in viser (reference semantic_voxel.py:
+    207-312): `render_mode="points"` as one point cloud, `"cubes"` as one
+    translucent box per voxel (reference visualize_results.py:276-289).
+    `x_offset` shifts the layer for side-by-side views
+    (visualize_results.py:242-246). Pass `server` to draw onto an existing
+    viser server instead of starting a new one on `port`."""
     points = voxel_map.get_centers_world().astype(np.float32).copy()
     points[:, 0] += x_offset
     feats = voxel_map.get_features().astype(np.float32)
@@ -111,10 +116,25 @@ def show_voxels(voxel_map, port: int = 8081, name: str = "semantic_voxels",
     else:
         colors = voxel_map.features_to_rgb(feats)
 
-    server = viser.ViserServer(host="0.0.0.0", port=port)
-    handle = server.scene.add_point_cloud(
-        name=name, points=points, colors=colors, point_size=point_size,
-        point_shape="circle")
+    if server is None:
+        server = viser.ViserServer(host="0.0.0.0", port=port)
+    if render_mode == "cubes":
+        size = float(voxel_map.get_voxel_size())
+        handle = [
+            server.scene.add_box(
+                name=f"{name}/voxel_{i}",
+                position=tuple(float(v) for v in points[i]),
+                dimensions=(size, size, size),
+                color=tuple(float(v) for v in colors[i][:3]),
+                opacity=cube_opacity)
+            for i in range(points.shape[0])
+        ]
+    elif render_mode == "points":
+        handle = server.scene.add_point_cloud(
+            name=name, points=points, colors=colors, point_size=point_size,
+            point_shape="circle")
+    else:
+        raise ValueError(f"unknown render_mode {render_mode!r}")
     if keep_alive:
         print(f"Viser server on port {port}. Press Enter to exit...")
         try:
