@@ -144,6 +144,71 @@ class TestAgreement:
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
                                    atol=2e-5)
 
+    def test_static_softmax_matches_naive(self):
+        # softmax="static" (per-(b,h) Cauchy-Schwarz bound instead of the
+        # running max) is an fp exponent shift: multi-block results match
+        # the exact softmax to normal fp tolerance.
+        rng = np.random.default_rng(20)
+        q, k, v = make_qkv(rng, B=1, H=3, N=512, D=64)
+        out_n = attn.naive_attention(q, k, v)
+        out_f = attn.flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True, softmax="static")
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                                   atol=3e-5)
+
+    def test_static_softmax_with_rope_valid_len_and_bias(self):
+        # static max composed with in-kernel rope + suffix masking + kv
+        # bias - the exact configuration of the production global blocks.
+        from vggt_slam_tpu.models.vggt.modules import apply_rope, rope_2d_angles
+        rng = np.random.default_rng(21)
+        q, k, v = make_qkv(rng, B=1, H=2, N=384, D=64)
+        pos = jnp.asarray(rng.uniform(0, 20, size=(384, 2)), jnp.float32)
+        cos, sin = rope_2d_angles(pos, 64, base=100.0)
+        bias = jnp.asarray(rng.uniform(0, 1.5, size=(384,)), jnp.float32)
+        qr, kr = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        out_ref = attn.naive_attention(qr, kr[:, :, :300], v[:, :, :300],
+                                       kv_bias=bias[:300])
+        out_f = attn.flash_attention(q, k, v, valid_len=jnp.int32(300),
+                                     block_q=128, block_k=128, interpret=True,
+                                     rope_q=(cos, sin), rope_k=(cos, sin),
+                                     kv_bias=bias, softmax="static")
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                                   atol=5e-5)
+
+    def test_static_softmax_with_int8(self):
+        rng = np.random.default_rng(22)
+        q, k, v = make_qkv(rng, B=1, H=2, N=512, D=64)
+        out_n = attn.naive_attention(q, k, v)
+        out_f = attn.flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True, qk_int8=True,
+                                     softmax="static")
+        err = np.abs(np.asarray(out_f) - np.asarray(out_n))
+        assert err.max() < 3e-2, err.max()
+        assert err.mean() < 1.5e-3, err.mean()
+
+    def test_static_softmax_qknormed_scaled_rows(self):
+        # qk-norm regime with a large learned gain: uniform row norms of
+        # ~8x unit - the bound tracks the logit scale and stays exact.
+        rng = np.random.default_rng(23)
+        q, k, v = make_qkv(rng, B=1, H=2, N=512, D=64)
+        qn = 8.0 * q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        kn = 8.0 * k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+        out_n = attn.naive_attention(qn, kn, v)
+        out_f = attn.flash_attention(qn, kn, v, block_q=128, block_k=128,
+                                     interpret=True, softmax="static")
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                                   atol=3e-5)
+
+    def test_static_softmax_single_block_unaffected(self):
+        # nk_blocks == 1 routes to the one-shot kernel regardless of the
+        # softmax mode; results must be identical to the online request.
+        rng = np.random.default_rng(24)
+        q, k, v = make_qkv(rng, B=1, H=2, N=200, D=64)
+        out_a = attn.flash_attention(q, k, v, interpret=True,
+                                     softmax="static")
+        out_b = attn.flash_attention(q, k, v, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
     def test_bf16_inputs(self):
         rng = np.random.default_rng(4)
         q, k, v = make_qkv(rng, B=1, H=1, N=256, D=64, dtype=jnp.bfloat16)

@@ -138,6 +138,26 @@ class TestBucketing:
                                    np.asarray(direct["pose_enc"]), atol=1e-5)
 
 
+class TestStaticSoftmax:
+    def test_static_global_softmax_matches_online(self):
+        # Wiring test: global_softmax="static" threads through the
+        # aggregator to the flash kernel. At tiny global N the kernel takes
+        # the single-block path where the mode is a no-op, so outputs must
+        # be bit-identical; multi-block numerics are covered in
+        # tests/test_attention.py::TestAgreement::test_static_softmax_*.
+        cfg_on = VGGTConfig.tiny(attn_impl="flash")
+        cfg_st = VGGTConfig.tiny(attn_impl="flash", global_softmax="static")
+        rng = jax.random.PRNGKey(0)
+        params = init_params(cfg_on, rng, sample_frames=2, image_hw=(56, 70))
+        imgs = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(3, 3, 56, 70)),
+            dtype=jnp.float32)
+        out_on = VGGT(cfg_on).apply(params, imgs)
+        out_st = VGGT(cfg_st).apply(params, imgs)
+        np.testing.assert_array_equal(np.asarray(out_st["depth"]),
+                                      np.asarray(out_on["depth"]))
+
+
 class TestGlobalKVMerging:
     @pytest.mark.parametrize("merge", ["sim", "stride"])
     def test_merged_forward_runs_and_is_close(self, merge):

@@ -175,6 +175,7 @@ class Aggregator(nn.Module):
                        layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
                        attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
                        qk_int8=cfg.global_qk_int8,
+                       softmax_mode=cfg.global_softmax,
                        name=f"global_block_{d}")(
                 xg, cos_g, sin_g, valid_len=global_valid,
                 kv_map=None if kv_index is None else _kv_map,

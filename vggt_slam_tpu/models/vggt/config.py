@@ -84,6 +84,13 @@ class VGGTConfig:
     # 3.6%) and merged 20.44 vs 20.20 (+1.2%, not worth the extra ~1e-3
     # logit error). Kept as a tested opt-in (--qk_int8).
     global_qk_int8: bool = False
+    # Flash-softmax variant for the GLOBAL attention blocks: "static"
+    # replaces the kernel's running-max pass with a precomputed
+    # Cauchy-Schwarz logit bound (sound here because agg_qk_norm holds, so
+    # q/k row norms are uniform; softmax stays exact to f32 - see
+    # ops/attention.flash_attention). One fewer VPU pass over every logits
+    # tile of the 24 global blocks. "online" restores the classic kernel.
+    global_softmax: str = "online"
 
     @property
     def tokens_per_frame_special(self) -> int:

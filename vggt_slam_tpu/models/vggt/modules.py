@@ -85,6 +85,11 @@ class Attention(nn.Module):
     # int8 QK^T on the flash kernel's multi-k-block (global) path; see
     # ops/attention.flash_attention. No effect on other impls/paths.
     qk_int8: bool = False
+    # "static" drops the flash kernel's running-max pass in favor of a
+    # precomputed per-(batch,head) logit bound (exact softmax up to an fp
+    # exponent shift; requires ~uniform row norms, i.e. qk_norm). Flash
+    # multi-k-block path only; see ops/attention.flash_attention.
+    softmax_mode: str = "online"
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
@@ -159,7 +164,8 @@ class Attention(nn.Module):
         out = attn_ops.attention(q, k, v, impl=self.attn_impl,
                                  valid_len=kv_valid_len, interpret=interpret,
                                  rope_q=rope_q, rope_k=rope_k,
-                                 kv_bias=kv_bias, qk_int8=self.qk_int8)
+                                 kv_bias=kv_bias, qk_int8=self.qk_int8,
+                                 softmax=self.softmax_mode)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -189,6 +195,7 @@ class Block(nn.Module):
     qk_norm: bool = False
     ln_eps: float = 1e-5  # torch default; DINOv2-lineage blocks pass 1e-6
     qk_int8: bool = False  # int8 QK^T (flash global path only)
+    softmax_mode: str = "online"  # "static": bound-based flash softmax
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
@@ -204,7 +211,8 @@ class Block(nn.Module):
                          name="norm1")(x).astype(self.dtype)
         h = Attention(self.dim, self.num_heads, dtype=self.dtype,
                       attn_impl=self.attn_impl, qk_norm=self.qk_norm,
-                      ln_eps=self.ln_eps, qk_int8=self.qk_int8, name="attn")(
+                      ln_eps=self.ln_eps, qk_int8=self.qk_int8,
+                      softmax_mode=self.softmax_mode, name="attn")(
             h, rope_cos, rope_sin, valid_len, kv_map=kv_map,
             kv_valid_len=kv_valid_len, kv_rope_cos=kv_rope_cos,
             kv_rope_sin=kv_rope_sin, kv_bias=kv_bias)

@@ -103,7 +103,7 @@ def _quant_i8(x, inv):
 
 
 def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
-                  has_bias, qk_int8=False):
+                  has_bias, qk_int8=False, static_max=False):
     """Online-softmax step for one (q-block, k-block) tile.
 
     VPU-lean design (the kernel is ~half VPU-bound at D=64, where both
@@ -114,6 +114,17 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
     the iota/compare/select passes entirely and fully-invalid blocks
     (bucket padding) skip ALL compute, which also makes padded-frame cost
     ~zero.
+
+    With `static_max`, the running row-max is replaced by a per-(batch,
+    head) STATIC upper bound on the logits (Cauchy-Schwarz over row norms,
+    computed by the caller and read from SMEM): p = exp2(s - M) is a pure
+    exponent shift, so softmax stays exact to f32 while the kernel drops
+    the per-tile max reduction, the exp2 correction factor, and the
+    accumulator rescale multiply - one fewer full VPU pass over every
+    (block_q, block_k) logits tile. Sound whenever the bound's overshoot
+    over the true row max stays < ~120 log2 units (guaranteed by qk-norm'd
+    q/k, whose row norms are uniform); tail entries more than 126 below
+    the bound flush to zero, which changes the softmax by < 2^-100.
 
     With `has_rope`, rotary embedding runs in-kernel from tiny shared
     tables AND is cached in scratch so no tile is rotated twice: the q
@@ -126,8 +137,12 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
     off = 0
     b_ref = None
     sc_ref = None
+    sm_ref = None
+    if static_max:
+        sm_ref, off = refs[0], 1
     if qk_int8:
-        sc_ref, off = refs[0], 1
+        sc_ref = refs[off]
+        off += 1
     if has_bias:
         b_ref = refs[off]
         off += 1
@@ -190,6 +205,17 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
         if apply_mask:
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < vl_ref[0], s, _NEG_INF)
+
+        if static_max:
+            # Exponent shift by the precomputed per-(b,h) bound: no max
+            # pass, no correction, no accumulator rescale.
+            p = jnp.exp2(s - sm_ref[b])              # (block_q, block_k) f32
+            l_new = l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+            return
 
         m_prev = m_ref[:, :1]                        # (block_q, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)   # (block_q, 1)
@@ -280,11 +306,11 @@ def _rope_tables(cos, sin, scale: float, n_pad: int):
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret", "layout",
-                              "qk_int8"),
+                              "qk_int8", "softmax"),
 )
 def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                 rope_q=None, rope_k=None, layout="bhnd", kv_bias=None,
-                qk_int8=False):
+                qk_int8=False, softmax="online"):
     """layout="bhnd": q/k/v are (B, H, N, D) - flattened to (B*H, N, D).
     layout="nhd":  q/k/v are (B, N, H, D) - the PROJECTION's natural output
     layout (reshape of (B, N, C) is free). The kernel then reads strided
@@ -310,6 +336,27 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     # already accepted. (With int8 QK^T the fold lives in the per-(b,h)
     # dequant constant instead - see sc below.)
     c_scale = math.log2(math.e) / math.sqrt(D)
+
+    # Static softmax max (see _flash_kernel): Cauchy-Schwarz bound on the
+    # exp2-domain logits per (batch, head), max_n|q_n| * max_n|k_n| *
+    # c_scale (+ the largest kv bias). Rope rotates (x1, x2) pairs, so row
+    # norms - and the bound - are invariant to it; int8 dequant reproduces
+    # the same logical logits, so the same bound serves both numerics.
+    # Computed on the raw q BEFORE the in-place scale fold below. O(N*D).
+    use_static = (softmax == "static"
+                  and (Nk + (-Nk) % block_k) // block_k > 1)
+    sm_ops = []
+    if use_static:
+        def row_norm_max(x):
+            sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
+            return jnp.sqrt(jnp.max(sq, axis=seq_ax))        # (B, H)
+
+        smax = c_scale * row_norm_max(q) * row_norm_max(k)
+        if kv_bias is not None:
+            smax = smax + jnp.max(kv_bias.astype(jnp.float32)) \
+                * math.log2(math.e)
+        sm_ops = [smax.reshape(-1)]
+
     if not has_rope and not use_int8:
         q = (q.astype(jnp.float32) * c_scale).astype(q.dtype)
 
@@ -453,7 +500,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     kernel = functools.partial(
         _flash_kernel, block_k=block_k,
         num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope,
-        has_bias=has_bias, qk_int8=use_int8)
+        has_bias=has_bias, qk_int8=use_int8, static_max=use_static)
+    sm_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if use_static else []
 
     scratch = [
         pltpu.VMEM((block_q, D), jnp.float32),
@@ -478,8 +526,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     out = pl.pallas_call(
         kernel,
         grid=(B * H, nq_blocks, nk_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + sc_specs +
-        bias_specs3 + rope_specs3 + qkv_specs((q_map3, k_map3)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + sm_specs +
+        sc_specs + bias_specs3 + rope_specs3 + qkv_specs((q_map3, k_map3)),
         out_specs=out_spec3,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -487,14 +535,25 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
             dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(vl, *sc_ops, *bias_ops, *rope_ops, qf, kf, vf)
+    )(vl, *sm_ops, *sc_ops, *bias_ops, *rope_ops, qf, kf, vf)
     return unpack(out)
 
 
 def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
                     interpret=False, rope_q=None, rope_k=None,
-                    layout="bhnd", kv_bias=None, qk_int8=False):
+                    layout="bhnd", kv_bias=None, qk_int8=False,
+                    softmax="online"):
     """Pallas flash attention forward.
+
+    `softmax`: "online" (default) runs the classic running-max online
+    softmax; "static" replaces the running max with a per-(batch, head)
+    Cauchy-Schwarz logit bound computed outside the kernel (exact softmax
+    up to an fp exponent shift; drops one full VPU pass per logits tile -
+    see _flash_kernel). Only sound when row norms are roughly uniform
+    (e.g. qk-normed attention): a row whose true max logit sits more than
+    ~120 log2 units below the bound would flush to zero. Only affects the
+    multi-k-block (global attention) path; the one-shot kernel already
+    computes an exact single-pass softmax.
 
     `qk_int8`: quantize the (roped) q/k tiles to int8 IN-KERNEL with
     per-(batch, head) symmetric scales and run QK^T on the MXU's 2x-rate
@@ -561,12 +620,13 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
         # on the first q sweep) - no pre-applied roped q/k round trips.
     return _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                        rope_q=rope_q, rope_k=rope_k, layout=layout,
-                       kv_bias=kv_bias, qk_int8=qk_int8)
+                       kv_bias=kv_bias, qk_int8=qk_int8, softmax=softmax)
 
 
 def attention(q, k, v, impl: str = "chunked", valid_len=None,
               interpret: bool = False, rope_q=None, rope_k=None,
-              layout: str = "bhnd", kv_bias=None, qk_int8: bool = False):
+              layout: str = "bhnd", kv_bias=None, qk_int8: bool = False,
+              softmax: str = "online"):
     """Dispatch by implementation name. See module docstring.
 
     Only "flash" consumes rope_q/rope_k (in-kernel rotary); callers using
@@ -577,12 +637,15 @@ def attention(q, k, v, impl: str = "chunked", valid_len=None,
     `qk_int8` (flash only) runs QK^T on the int8 MXU path - see
     flash_attention; other impls ignore it (they are the f32/bf16
     reference semantics the int8 path is tested against).
+    `softmax` (flash only): "static" swaps the online running max for a
+    precomputed logit bound on the multi-k-block path - see
+    flash_attention; other impls compute a full exact softmax regardless.
     """
     if impl == "flash":
         return flash_attention(q, k, v, valid_len=valid_len,
                                interpret=interpret, rope_q=rope_q,
                                rope_k=rope_k, layout=layout, kv_bias=kv_bias,
-                               qk_int8=qk_int8)
+                               qk_int8=qk_int8, softmax=softmax)
     assert rope_q is None
     if layout == "nhd":
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
