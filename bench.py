@@ -74,20 +74,30 @@ def main():
     # BENCH_POINT_HEAD=1 restores it (the --use_point_map profile).
     point_head = os.environ.get("BENCH_POINT_HEAD", "0") == "1"
 
+    # BENCH_SOFTMAX=online overrides the global-attention flash softmax
+    # variant (default: the config default; see VGGTConfig.global_softmax).
+    from dataclasses import fields as _dc_fields
+    _sm_default = next(f.default for f in _dc_fields(VGGTConfig)
+                       if f.name == "global_softmax")
+    softmax = os.environ.get("BENCH_SOFTMAX", _sm_default)
+
     def make_cfg(stride, merge):
         if not on_tpu:
             # CPU fallback so the bench still runs everywhere (tiny model).
             return VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
                                    global_merge=merge, global_qk_int8=qk_int8,
+                                   global_softmax=softmax,
                                    enable_point_head=point_head)
         return VGGTConfig.vggt_1b(attn_impl="flash",
                                   global_kv_stride=stride, global_merge=merge,
                                   global_qk_int8=qk_int8,
+                                  global_softmax=softmax,
                                   enable_point_head=point_head)
 
     cfg = make_cfg(stride, merge)
     log(f"global_kv_stride: {stride}; merge: {merge}; qk_int8: {qk_int8}; "
-        f"point_head: {point_head}; cpu_fallback: {not on_tpu}")
+        f"softmax: {softmax}; point_head: {point_head}; "
+        f"cpu_fallback: {not on_tpu}")
 
     model = VGGT(cfg)
     # Exact-attention model shares the SAME parameters (merging is a
