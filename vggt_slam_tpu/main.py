@@ -68,6 +68,14 @@ parser.add_argument("--global_merge", type=str, default="sim",
                          "--global_kv_stride > 1: 'sim' = ToMe-style "
                          "similarity merging with proportional attention "
                          "(FastVGGT's method); 'stride' = plain subsampling")
+parser.add_argument("--global_softmax", type=str, default=None,
+                    choices=["online", "static"],
+                    help="flash-softmax variant for the global attention "
+                         "blocks (default: the model config's default). "
+                         "'static' swaps the kernel's running max for a "
+                         "precomputed logit bound - exact softmax, one "
+                         "fewer VPU pass per logits tile; see "
+                         "config.global_softmax")
 parser.add_argument("--qk_int8", action="store_true",
                     help="run global-attention QK^T on the in-kernel int8 "
                          "MXU path (measured: +1.2%% FPS merged, -3.6%% "
@@ -106,15 +114,18 @@ def build_model_fn(args):
     point_head = bool(getattr(args, "use_point_map", False))
     merge = getattr(args, "global_merge", "sim")
     qk_int8 = bool(getattr(args, "qk_int8", False))
+    sm_kw = {}
+    if getattr(args, "global_softmax", None):
+        sm_kw["global_softmax"] = args.global_softmax
     if args.model_size == "tiny":
         cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
                               global_merge=merge, global_qk_int8=qk_int8,
-                              enable_point_head=point_head)
+                              enable_point_head=point_head, **sm_kw)
     else:
         cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
                                  global_kv_stride=stride, global_merge=merge,
                                  global_qk_int8=qk_int8,
-                                 enable_point_head=point_head)
+                                 enable_point_head=point_head, **sm_kw)
     model = VGGT(cfg)
 
     h, w = 392, 518  # recomputed per batch below; init shape is flexible

@@ -89,8 +89,10 @@ class VGGTConfig:
     # Cauchy-Schwarz logit bound (sound here because agg_qk_norm holds, so
     # q/k row norms are uniform; softmax stays exact to f32 - see
     # ops/attention.flash_attention). One fewer VPU pass over every logits
-    # tile of the 24 global blocks. "online" restores the classic kernel.
-    global_softmax: str = "online"
+    # tile of the 24 global blocks; same-session A/B on the v5e measured
+    # merged 19.95 -> 21.97 FPS and exact 11.68 -> 12.53 FPS (ARCHITECTURE
+    # section 9). "online" restores the classic running-max kernel.
+    global_softmax: str = "static"
 
     @property
     def tokens_per_frame_special(self) -> int:
