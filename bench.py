@@ -206,6 +206,25 @@ def main():
     else:
         exact_fps = fps
 
+    # Third operating point: exact attention with int8 QK^T. Since the
+    # static-max softmax made the global kernel MXU-bound, the int8 2x
+    # matmul rate shows through end-to-end on the exact path (measured
+    # 12.53 -> 14.03 FPS; on the merged path int8 is a wash, so the
+    # headline stays bf16). Skipped when BENCH_QK_INT8=1 already made the
+    # main configs int8.
+    if qk_int8:
+        exact_int8_fps = exact_fps
+    else:
+        import dataclasses
+        model_exact_i8 = VGGT(dataclasses.replace(
+            make_cfg(1, merge), global_qk_int8=True))
+        step_exact_i8 = make_submap_step(jax.jit(model_exact_i8.apply))
+        t0 = time.time()
+        sync(step_exact_i8(params, imgs, imgs224, pts_prev, weights,
+                           arrays, key))
+        log(f"exact-int8 compile+first step: {time.time() - t0:.1f}s")
+        exact_int8_fps = measure(step_exact_i8, "exact stride=1 qk_int8")
+
     print(json.dumps({
         "metric": "tum_style_submap32_e2e_fps_single_chip",
         "value": round(fps, 2),
@@ -213,8 +232,9 @@ def main():
         "vs_baseline": round(fps / 20.0, 3),
         "exact_fps": round(exact_fps, 2),
         "exact_vs_baseline": round(exact_fps / 20.0, 3),
+        "exact_int8_fps": round(exact_int8_fps, 2),
         "operating_point": f"global_kv_stride={stride},merge={merge},"
-                           f"qk_int8={int(qk_int8)}",
+                           f"qk_int8={int(qk_int8)},softmax={softmax}",
     }))
 
 
