@@ -95,6 +95,79 @@ class TestSemanticEmbedder:
         d = np.load(out / files[0])
         assert d["embedding"].shape[:2] == (32, 32)
 
+    def test_bbox_expand_clamps_and_changes_crop(self):
+        from vggt_slam_tpu.semantic.embedder import SemanticEmbedder
+        rng = np.random.default_rng(2)
+        img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+        seg = np.zeros((64, 64), bool)
+        seg[20:30, 20:30] = True
+        tight = SemanticEmbedder(target_hw=(64, 64))._crop(img, seg)
+        wide = SemanticEmbedder(target_hw=(64, 64),
+                                bbox_expand_pct=0.5)._crop(img, seg)
+        corner = np.zeros((64, 64), bool)
+        corner[0:4, 0:4] = True  # expansion must clamp at the border
+        edge = SemanticEmbedder(target_hw=(64, 64),
+                                bbox_expand_pct=2.0)._crop(img, corner)
+        assert tight.shape == wide.shape == edge.shape
+        assert np.abs(tight - wide).max() > 0  # context changed the crop
+        import pytest
+        with pytest.raises(ValueError):
+            SemanticEmbedder(bbox_expand_pct=-0.1)
+
+    def test_masks_overlay_and_visualization(self, tmp_path):
+        import cv2
+        from vggt_slam_tpu.semantic.embedder import (SemanticEmbedder,
+                                                     render_masks_overlay)
+        rng = np.random.default_rng(3)
+        img = rng.uniform(size=(48, 48, 3)).astype(np.float32)
+        seg = np.zeros((48, 48), bool)
+        seg[:24] = True
+        vis = render_masks_overlay(img, [{"segmentation": seg, "area": 1}],
+                                   alpha=0.5)
+        assert vis.dtype == np.uint8 and vis.shape == (48, 48, 3)
+        base = np.clip(img * 255, 0, 255).astype(np.uint8)
+        assert not np.array_equal(vis[:24], base[:24])   # blended
+        assert np.array_equal(vis[24:], base[24:])       # untouched
+        out = tmp_path / "vis" / "frame.masks.png"
+        SemanticEmbedder(target_hw=(48, 48)).save_masks_visualization(
+            img, str(out))
+        assert cv2.imread(str(out)).shape == (48, 48, 3)
+
+    def test_best_match_from_text(self):
+        """Text-query machinery (reference :300-323): with a mock encoder
+        pair whose similarity is engineered, the best mask index and score
+        come back deterministically."""
+        from vggt_slam_tpu.semantic.embedder import SemanticEmbedder
+
+        def two_masks(img):
+            h, w = img.shape[:2]
+            a = np.zeros((h, w), bool); a[:, :w // 2] = True
+            b = np.zeros((h, w), bool); b[:, w // 2:] = True
+            return [{"segmentation": a, "area": int(a.sum())},
+                    {"segmentation": b, "area": int(b.sum()) + 1}]
+
+        def crop_enc(crops):
+            # mask 0 (sorted 2nd, smaller area) -> e1; mask 1 -> e0
+            basis = np.eye(2, 4, dtype=np.float32)
+            return basis[:len(crops)]
+
+        def text_enc(texts):
+            return np.array([[0.0, 1.0, 0.0, 0.0]], np.float32)
+
+        emb = SemanticEmbedder(mask_generator=two_masks,
+                               crop_encoder=crop_enc, text_encoder=text_enc,
+                               target_hw=(32, 32))
+        idx, seg, score = emb.best_match_from_text(
+            np.zeros((32, 32, 3), np.float32), "right half")
+        assert idx == 1 and seg is not None
+        assert score == 1.0
+        # no masks -> sentinel
+        emb2 = SemanticEmbedder(mask_generator=lambda im: [],
+                                target_hw=(32, 32))
+        idx, seg, score = emb2.best_match_from_text(
+            np.zeros((32, 32, 3), np.float32), "x")
+        assert idx == -1 and seg is None and score == -1.0
+
 
 class TestFelzenszwalb:
     """Native graph-based segmentation: the weight-free SAM2 stand-in

@@ -79,6 +79,40 @@ def color_hash_encoder(crops: np.ndarray, dim: int = 64) -> np.ndarray:
     return emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8)
 
 
+def hash_text_encoder(texts: list[str], dim: int = 64) -> np.ndarray:
+    """Fallback text encoder paired with color_hash_encoder: deterministic
+    random projection of character statistics (L2-normed). Exercises the
+    text-query machinery end-to-end without a checkpoint; NOT semantic."""
+    rng = np.random.default_rng(1)
+    proj = rng.normal(size=(256, dim)).astype(np.float32)
+    out = []
+    for t in texts:
+        hist = np.bincount(np.frombuffer(t.encode(), np.uint8),
+                           minlength=256).astype(np.float32)
+        out.append(hist / (np.linalg.norm(hist) + 1e-8))
+    emb = np.asarray(out) @ proj
+    return emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8)
+
+
+def render_masks_overlay(image_rgb: np.ndarray, masks: list,
+                         alpha: float = 0.5, seed: int = 0) -> np.ndarray:
+    """Color overlay of segment masks on the image (reference
+    semantic_embedder.py:395-421): each mask alpha-blended with a
+    deterministic random color. (H, W, 3) float [0,1] or uint8 in ->
+    uint8 RGB out. Pure numpy, testable headless."""
+    img = image_rgb
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(seed)
+    overlay = img.astype(np.float32).copy()
+    base = img.astype(np.float32)
+    for m in masks:
+        seg = m["segmentation"]
+        color = rng.integers(0, 256, size=3).astype(np.float32)
+        overlay[seg] = (1.0 - alpha) * base[seg] + alpha * color
+    return np.clip(overlay, 0, 255).astype(np.uint8)
+
+
 def make_hf_clip_encoder(model_dir: str):
     """CLIP/SigLIP crop + text encoders from a local transformers checkpoint."""
     import torch
@@ -113,31 +147,94 @@ class SemanticEmbedder:
     def __init__(self,
                  mask_generator: Optional[Callable] = None,
                  crop_encoder: Optional[Callable] = None,
+                 text_encoder: Optional[Callable] = None,
                  target_hw: tuple[int, int] = (518, 518),
-                 crop_size: int = 224):
+                 crop_size: int = 224,
+                 bbox_expand_pct: float = 0.0):
         if mask_generator is None:
             # Segment-shaped proposals by default (SAM2 stand-in); the
             # grid is only the no-compiler fallback.
             from vggt_slam_tpu.native import felzenszwalb as _fz
             mask_generator = (felzenszwalb_mask_generator if _fz.available()
                               else grid_mask_generator)
+        if bbox_expand_pct < 0:
+            raise ValueError("bbox_expand_pct must be >= 0")
         self.mask_generator = mask_generator
         self.crop_encoder = crop_encoder or color_hash_encoder
+        self.text_encoder = text_encoder or hash_text_encoder
         self.target_hw = target_hw
         self.crop_size = crop_size
+        self.bbox_expand_pct = float(bbox_expand_pct)
 
     def _crop(self, image: np.ndarray, seg: np.ndarray) -> np.ndarray:
-        """Black-background bbox crop (reference semantic_embedder.py:130-156)."""
+        """Black-background bbox crop (reference semantic_embedder.py:130-156),
+        with optional symmetric bbox expansion by `bbox_expand_pct` of the
+        box size, clamped to the image (reference :104-123) - extra context
+        around small objects helps CLIP."""
         import cv2
 
+        H, W = image.shape[:2]
         ys, xs = np.where(seg)
         y0, y1 = ys.min(), ys.max() + 1
         x0, x1 = xs.min(), xs.max() + 1
+        if self.bbox_expand_pct > 0:
+            ey = int(np.ceil((y1 - y0) * self.bbox_expand_pct / 2))
+            ex = int(np.ceil((x1 - x0) * self.bbox_expand_pct / 2))
+            y0, y1 = max(0, y0 - ey), min(H, y1 + ey)
+            x0, x1 = max(0, x0 - ex), min(W, x1 + ex)
         patch = image[y0:y1, x0:x1].copy()
         patch[~seg[y0:y1, x0:x1]] = 0
         patch = cv2.resize(patch, (self.crop_size, self.crop_size),
                            interpolation=cv2.INTER_LINEAR)
         return np.transpose(patch.astype(np.float32), (2, 0, 1))
+
+    def propose(self, image_rgb: np.ndarray):
+        """Resize to target_hw and propose masks, largest-first."""
+        import cv2
+
+        th, tw = self.target_hw
+        img = cv2.resize(image_rgb, (tw, th), interpolation=cv2.INTER_LINEAR)
+        masks = sorted(self.mask_generator(img), key=lambda m: -m["area"])
+        return img, masks
+
+    def propose_and_embed(self, image_rgb: np.ndarray):
+        """Masks + per-mask embeddings at target resolution: returns
+        (resized image, masks sorted largest-first, (N, d) embeddings)."""
+        img, masks = self.propose(image_rgb)
+        if not masks:
+            return img, [], np.zeros((0, 1), np.float32)
+        crops = np.stack([self._crop(img, m["segmentation"]) for m in masks])
+        embs = np.asarray(self.crop_encoder(crops), dtype=np.float32)
+        return img, masks, embs
+
+    def best_match_from_text(self, image_rgb: np.ndarray, text_query: str):
+        """Best mask for a text query (reference semantic_embedder.py:
+        300-323): cosine similarity between the query's text embedding and
+        every mask crop's embedding. Returns (index, segmentation (H,W)
+        bool at target_hw, score); (-1, None, -1.0) when no masks."""
+        _, masks, embs = self.propose_and_embed(image_rgb)
+        if not masks:
+            return -1, None, -1.0
+        te = np.asarray(self.text_encoder([text_query]),
+                        dtype=np.float32).reshape(-1)
+        te = te / (np.linalg.norm(te) + 1e-8)
+        en = embs / (np.linalg.norm(embs, axis=1, keepdims=True) + 1e-8)
+        sims = en @ te
+        best = int(np.argmax(sims))
+        return best, masks[best]["segmentation"], float(sims[best])
+
+    def save_masks_visualization(self, image_rgb: np.ndarray,
+                                 output_path: str, alpha: float = 0.5) -> None:
+        """Write the mask-overlay debug render for one image (reference
+        semantic_embedder.py:395-421; the bare image when no masks)."""
+        import cv2
+
+        img, masks = self.propose(image_rgb)
+        vis = render_masks_overlay(img, masks, alpha=alpha)
+        d = os.path.dirname(output_path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        cv2.imwrite(output_path, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
 
     def embed_image(self, image_rgb: np.ndarray) -> np.ndarray:
         """(H, W, 3) float [0,1] RGB -> (target_h, target_w, d) embedding map.
@@ -145,30 +242,26 @@ class SemanticEmbedder:
         Masks are painted largest-first so later (smaller, more specific)
         masks overwrite - matching semantic_embedder.py:324-349.
         """
-        import cv2
-
         th, tw = self.target_hw
-        img = cv2.resize(image_rgb, (tw, th), interpolation=cv2.INTER_LINEAR)
-        masks = self.mask_generator(img)
+        _, masks, embs = self.propose_and_embed(image_rgb)
         if not masks:
             return np.zeros((th, tw, 1), dtype=np.float32)
-        masks = sorted(masks, key=lambda m: -m["area"])
-        crops = np.stack([self._crop(img, m["segmentation"]) for m in masks])
-        embs = np.asarray(self.crop_encoder(crops), dtype=np.float32)
-        d = embs.shape[-1]
-        out = np.zeros((th, tw, d), dtype=np.float32)
+        out = np.zeros((th, tw, embs.shape[-1]), dtype=np.float32)
         for m, e in zip(masks, embs):
             out[m["segmentation"]] = e
         return out
 
     def embed_folder_to_npz(self, image_dir: str, out_dir: str,
                             limit: int | None = None,
-                            shard_index: int = 0, num_shards: int = 1) -> int:
+                            shard_index: int = 0, num_shards: int = 1,
+                            mask_vis_dir: str | None = None) -> int:
         """Embed every image in a folder to {out_dir}/{stem}.npz.
 
         Sharding args mirror the reference's round-robin multi-process
         parallelism (semantic_embedder.py:480-566) - shard i of n processes
         the images with index % n == i (shared-nothing, results to disk).
+        `mask_vis_dir` additionally writes {stem}.masks.png overlay renders
+        (reference's save_masks_visualization debug output).
         """
         from vggt_slam_tpu.data.images import list_image_folder, load_image
 
@@ -187,6 +280,9 @@ class SemanticEmbedder:
             img = load_image(path).astype(np.float32) / 255.0
             emb = self.embed_image(img)
             np.savez_compressed(out_path, embedding=emb)
+            if mask_vis_dir:
+                self.save_masks_visualization(
+                    img, os.path.join(mask_vis_dir, f"{stem}.masks.png"))
             done += 1
         return done
 
@@ -248,6 +344,12 @@ def main():
     p.add_argument("--num_procs", type=int, default=1,
                    help="spawn N worker processes sharding the folder "
                         "round-robin (reference's multi-GPU pool)")
+    p.add_argument("--mask_vis_dir", default=None,
+                   help="also write {stem}.masks.png overlay renders of "
+                        "the mask proposals (debug)")
+    p.add_argument("--bbox_expand_pct", type=float, default=0.0,
+                   help="expand each mask's bbox crop by this fraction "
+                        "for extra CLIP context")
     args = p.parse_args()
 
     if args.num_procs > 1:
@@ -257,15 +359,18 @@ def main():
                                target_size=args.target_size)
         return
 
-    crop_encoder = None
+    crop_encoder = text_encoder = None
     if args.clip_model_dir:
-        crop_encoder, _ = make_hf_clip_encoder(args.clip_model_dir)
+        crop_encoder, text_encoder = make_hf_clip_encoder(args.clip_model_dir)
     emb = SemanticEmbedder(crop_encoder=crop_encoder,
-                           target_hw=(args.target_size, args.target_size))
+                           text_encoder=text_encoder,
+                           target_hw=(args.target_size, args.target_size),
+                           bbox_expand_pct=args.bbox_expand_pct)
     n = emb.embed_folder_to_npz(args.image_dir, args.out_dir,
                                 limit=args.limit,
                                 shard_index=args.shard_index,
-                                num_shards=args.num_shards)
+                                num_shards=args.num_shards,
+                                mask_vis_dir=args.mask_vis_dir)
     print(f"embedded {n} images -> {args.out_dir}")
 
 
