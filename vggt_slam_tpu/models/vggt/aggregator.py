@@ -176,6 +176,8 @@ class Aggregator(nn.Module):
                        attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
                        qk_int8=cfg.global_qk_int8,
                        softmax_mode=cfg.global_softmax,
+                       seq_mesh=cfg.global_seq_mesh,
+                       seq_axis=cfg.global_seq_axis,
                        name=f"global_block_{d}")(
                 xg, cos_g, sin_g, valid_len=global_valid,
                 kv_map=None if kv_index is None else _kv_map,

@@ -93,6 +93,15 @@ class VGGTConfig:
     # merged 19.95 -> 21.97 FPS and exact 11.68 -> 12.53 FPS (ARCHITECTURE
     # section 9). "online" restores the classic running-max kernel.
     global_softmax: str = "static"
+    # Sequence-parallel GLOBAL attention: set to a jax.sharding.Mesh (with
+    # `global_seq_axis` naming its frame/token axis) to run the exact
+    # global-attention path as ring attention - tokens stay sharded,
+    # K/V chunks rotate via ppermute over ICI (parallel/ring.py) instead
+    # of XLA all-gathering the full sequence onto every chip. Ignored by
+    # the merged (global_kv_stride > 1) path, whose 4x-smaller K/V set is
+    # cheap to all-gather. Wired by parallel.infer (seq_parallel=True).
+    global_seq_mesh: object = None
+    global_seq_axis: str = "dp"
 
     @property
     def tokens_per_frame_special(self) -> int:

@@ -90,6 +90,12 @@ class Attention(nn.Module):
     # exponent shift; requires ~uniform row norms, i.e. qk_norm). Flash
     # multi-k-block path only; see ops/attention.flash_attention.
     softmax_mode: str = "online"
+    # Sequence-parallel exact attention: with a mesh set (and no K/V
+    # merging), the token axis stays sharded over `seq_axis` and K/V
+    # chunks rotate via ppermute (parallel/ring.py) instead of XLA
+    # all-gathering the full sequence onto every chip.
+    seq_mesh: Optional[object] = None
+    seq_axis: str = "dp"
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
@@ -148,24 +154,38 @@ class Attention(nn.Module):
             kv_rope_cos, kv_rope_sin = rope_cos, rope_sin
             kv_valid_len = valid_len
 
+        # Sequence-parallel ring attention takes the exact (unmerged) path
+        # when a mesh is configured: tokens stay sharded, K/V rotate over
+        # ICI (parallel/ring.py). With K/V merging the reduced set is 4x
+        # smaller, so the plain jit-sharding all-gather remains the right
+        # design and the regular dispatch below handles it.
+        use_ring = self.seq_mesh is not None and kv_map is None
+
         # The flash kernel applies rotary in-kernel from the tiny shared
         # tables (ops/attention.py), skipping two full HBM round trips of
-        # roped q/k per block; other impls pre-apply here.
+        # roped q/k per block; other impls (and the ring path) pre-apply.
         rope_q = rope_k = None
         if rope_cos is not None:
-            if self.attn_impl == "flash":
+            if self.attn_impl == "flash" and not use_ring:
                 rope_q = (rope_cos, rope_sin)
                 rope_k = (kv_rope_cos, kv_rope_sin)
             else:
                 q = apply_rope(q, rope_cos, rope_sin)
                 k = apply_rope(k, kv_rope_cos, kv_rope_sin)
 
-        interpret = jax.default_backend() != "tpu"
-        out = attn_ops.attention(q, k, v, impl=self.attn_impl,
-                                 valid_len=kv_valid_len, interpret=interpret,
-                                 rope_q=rope_q, rope_k=rope_k,
-                                 kv_bias=kv_bias, qk_int8=self.qk_int8,
-                                 softmax=self.softmax_mode)
+        if use_ring:
+            from vggt_slam_tpu.parallel.ring import ring_self_attention
+            out = ring_self_attention(q, k, v, self.seq_mesh,
+                                      axis=self.seq_axis,
+                                      valid_len=kv_valid_len)
+        else:
+            interpret = jax.default_backend() != "tpu"
+            out = attn_ops.attention(q, k, v, impl=self.attn_impl,
+                                     valid_len=kv_valid_len,
+                                     interpret=interpret,
+                                     rope_q=rope_q, rope_k=rope_k,
+                                     kv_bias=kv_bias, qk_int8=self.qk_int8,
+                                     softmax=self.softmax_mode)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -196,6 +216,8 @@ class Block(nn.Module):
     ln_eps: float = 1e-5  # torch default; DINOv2-lineage blocks pass 1e-6
     qk_int8: bool = False  # int8 QK^T (flash global path only)
     softmax_mode: str = "online"  # "static": bound-based flash softmax
+    seq_mesh: Optional[object] = None  # ring attention mesh (see Attention)
+    seq_axis: str = "dp"
 
     @nn.compact
     def __call__(self, x, rope_cos=None, rope_sin=None,
@@ -212,7 +234,9 @@ class Block(nn.Module):
         h = Attention(self.dim, self.num_heads, dtype=self.dtype,
                       attn_impl=self.attn_impl, qk_norm=self.qk_norm,
                       ln_eps=self.ln_eps, qk_int8=self.qk_int8,
-                      softmax_mode=self.softmax_mode, name="attn")(
+                      softmax_mode=self.softmax_mode,
+                      seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
+                      name="attn")(
             h, rope_cos, rope_sin, valid_len, kv_map=kv_map,
             kv_valid_len=kv_valid_len, kv_rope_cos=kv_rope_cos,
             kv_rope_sin=kv_rope_sin, kv_bias=kv_bias)

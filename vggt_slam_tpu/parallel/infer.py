@@ -57,7 +57,8 @@ def make_sharded_forward(model, params, mesh=None):
 
 def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
                                    mesh=None, as_numpy: bool = True,
-                                   with_unprojection: bool = False):
+                                   with_unprojection: bool = False,
+                                   seq_parallel: bool = False):
     """Sharded counterpart of models.vggt.model.make_bucketed_model_fn:
     a prediction callable that pads every submap batch to a fixed bucket
     (rounded up so the frame axis divides the dp mesh axis), passes a traced
@@ -67,13 +68,27 @@ def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
     `with_unprojection=True` mirrors the single-chip path: camera decode +
     depth unprojection run INSIDE the sharded jit (frame-parallel over dp),
     so sharded runs skip the per-submap host depth round-trip too.
+
+    `seq_parallel=True` runs the exact global-attention path as RING
+    attention over the dp axis (parallel/ring.py): tokens stay sharded and
+    K/V chunks rotate via ppermute instead of XLA all-gathering the full
+    S*P-token sequence onto every chip at each of the 24 global blocks.
+    Only meaningful when the model is exact (global_kv_stride == 1); the
+    merged path's reduced K/V set is cheap to all-gather and keeps the
+    regular dispatch.
     """
+    import dataclasses
+
     import numpy as np
 
     from vggt_slam_tpu.ops import geometry
 
     if mesh is None:
         mesh = make_mesh()
+    if seq_parallel:
+        from vggt_slam_tpu.models.vggt.model import VGGT
+        model = VGGT(dataclasses.replace(model.cfg, global_seq_mesh=mesh,
+                                         global_seq_axis="dp"))
     dp = mesh.shape["dp"]
     bucket = -(-bucket_size // dp) * dp
 
