@@ -90,6 +90,12 @@ parser.add_argument("--shard", action="store_true",
                     help="run the VGGT forward sharded over ALL visible "
                          "devices on a (dp,tp) mesh (frames over dp, "
                          "Megatron TP on qkv/mlp); single-device otherwise")
+parser.add_argument("--seq_parallel", action="store_true",
+                    help="with --shard and exact attention "
+                         "(--global_kv_stride 1): run global attention as "
+                         "RING attention over the dp axis (K/V chunks "
+                         "rotate via ppermute over ICI) instead of "
+                         "all-gathering the full token axis per block")
 parser.add_argument("--timing", action="store_true",
                     help="accumulate per-stage wall times (keyframing, "
                          "dispatch, integrate) and print a summary")
@@ -153,7 +159,8 @@ def build_model_fn(args):
         print(f"Sharding the forward over {jax.device_count()} devices")
         return make_sharded_bucketed_model_fn(
             model, params, bucket, as_numpy=as_numpy,
-            with_unprojection=point_head is False)
+            with_unprojection=point_head is False,
+            seq_parallel=bool(getattr(args, "seq_parallel", False)))
     from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
     return make_bucketed_model_fn(model, params, bucket, as_numpy=as_numpy,
                                   with_unprojection=point_head is False)
