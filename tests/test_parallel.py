@@ -135,6 +135,99 @@ class TestRingAttention:
                                        rtol=2e-2, atol=2e-3)
 
 
+class TestPipelineParallel:
+    """GPipe-style pipeline over the aggregator depth axis (parallel/pp.py):
+    stacked stage params sharded P("pp"), scene microbatches hopping stages
+    via ppermute, dp running independent pipelines over scene shards."""
+
+    def _batch(self, cfg, B, S, hw, seed=3):
+        from vggt_slam_tpu.parallel.pp import make_pp_dryrun_batch
+        b = make_pp_dryrun_batch(cfg, B, S, hw)
+        rng = np.random.default_rng(seed)
+        b["images"] = jnp.asarray(
+            rng.uniform(size=b["images"].shape), jnp.float32)
+        b["pose_enc_gt"] = jnp.asarray(
+            rng.normal(size=b["pose_enc_gt"].shape) * 0.1, jnp.float32)
+        b["depth_gt"] = jnp.asarray(
+            rng.uniform(0.5, 2.0, b["depth_gt"].shape), jnp.float32)
+        return b
+
+    def test_loss_matches_serial(self, setup, cpu_devices):
+        """pp x dp pipelined loss == mean of per-scene serial losses."""
+        from vggt_slam_tpu.parallel.mesh import make_pp_mesh
+        from vggt_slam_tpu.parallel.pp import pp_vggt_loss
+        from vggt_slam_tpu.parallel.train import vggt_loss
+        cfg, params = setup
+        mesh = make_pp_mesh(cpu_devices, pp=2)  # pp=2, dp=4; L=4 -> 2/stage
+        batch = self._batch(cfg, B=8, S=2, hw=(56, 70))
+        loss_pp = float(jax.jit(
+            lambda p, b: pp_vggt_loss(cfg, p, b, mesh))(params, batch))
+        serial = [float(vggt_loss(cfg, params, jax.tree.map(
+            lambda a, i=i: a[i], batch))) for i in range(8)]
+        np.testing.assert_allclose(loss_pp, np.mean(serial),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_four_stage_pipeline(self, setup, cpu_devices):
+        """pp=4 (one depth pair per stage), dp=2, M=2 microbatches."""
+        from vggt_slam_tpu.parallel.mesh import make_pp_mesh
+        from vggt_slam_tpu.parallel.pp import pp_vggt_loss
+        from vggt_slam_tpu.parallel.train import vggt_loss
+        cfg, params = setup
+        mesh = make_pp_mesh(cpu_devices, pp=4)
+        batch = self._batch(cfg, B=4, S=2, hw=(56, 70), seed=5)
+        loss_pp = float(jax.jit(
+            lambda p, b: pp_vggt_loss(cfg, p, b, mesh))(params, batch))
+        serial = [float(vggt_loss(cfg, params, jax.tree.map(
+            lambda a, i=i: a[i], batch))) for i in range(4)]
+        np.testing.assert_allclose(loss_pp, np.mean(serial),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_serial(self, setup, cpu_devices):
+        """Backward through scan + ppermute + masked writes is exact:
+        grads of the pipelined loss == grads of the serial mean loss."""
+        from vggt_slam_tpu.parallel.mesh import make_pp_mesh
+        from vggt_slam_tpu.parallel.pp import pp_vggt_loss
+        from vggt_slam_tpu.parallel.train import vggt_loss
+        cfg, params = setup
+        mesh = make_pp_mesh(cpu_devices, pp=2)
+        batch = self._batch(cfg, B=4, S=2, hw=(56, 70), seed=7)
+        g_pp = jax.jit(jax.grad(
+            lambda p: pp_vggt_loss(cfg, p, batch, mesh)))(params)
+
+        def serial_loss(p):
+            losses = [vggt_loss(cfg, p, jax.tree.map(
+                lambda a, i=i: a[i], batch)) for i in range(4)]
+            return jnp.mean(jnp.stack(losses))
+
+        g_ref = jax.jit(jax.grad(serial_loss))(params)
+        agg = params["params"]["aggregator"]
+        for path in (("aggregator", "frame_block_0", "attn", "qkv", "kernel"),
+                     ("aggregator", "global_block_3", "mlp", "fc2", "kernel"),
+                     ("aggregator", "patch_embed", "cls_token"),
+                     ("camera_head",), ("depth_head",)):
+            a, b = g_pp["params"], g_ref["params"]
+            for k in path:
+                if k not in a:
+                    break
+                a, b = a[k], b[k]
+            for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                           rtol=5e-4, atol=1e-6)
+
+    def test_train_step_runs(self, setup, cpu_devices):
+        from vggt_slam_tpu.parallel.mesh import make_pp_mesh
+        from vggt_slam_tpu.parallel.pp import make_pp_train_step
+        cfg, params = setup
+        mesh = make_pp_mesh(cpu_devices, pp=2)
+        step, opt_state = make_pp_train_step(cfg, mesh, params)
+        batch = self._batch(cfg, B=8, S=2, hw=(56, 70))
+        params2, opt_state, loss = step(params, opt_state, batch)
+        assert np.isfinite(float(loss))
+        before = jax.tree.leaves(params)[0]
+        after = jax.tree.leaves(params2)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
 class TestShardedDepthMode:
     def test_point_head_disabled_with_unprojection(self, setup, cpu_devices):
         """The CLI's default --shard configuration: enable_point_head=False

@@ -34,6 +34,19 @@ def make_mesh(devices=None, tp: int | None = None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_pp_mesh(devices=None, pp: int = 2) -> Mesh:
+    """Create a ("pp", "dp") mesh for the pipeline-parallel training step
+    (parallel/pp.py): pp shards the aggregator's depth axis into stages,
+    dp shards scenes; tp's collectives would need manual Megatron psums
+    inside the pipeline's shard_map, so the pp step composes pp x dp only."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % pp == 0, f"{n} devices not divisible by pp={pp}"
+    arr = np.asarray(devices).reshape(pp, n // pp)
+    return Mesh(arr, axis_names=("pp", "dp"))
+
+
 # Partition rules by parameter path suffix (flax param tree paths).
 # Column-parallel: shard output features; row-parallel: shard input features.
 _RULES: list[tuple[str, P]] = [
