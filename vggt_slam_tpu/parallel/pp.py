@@ -144,17 +144,20 @@ def _pipeline_local(cfg: VGGTConfig, fstack, gstack, toks, cos, sin, *,
         y, caps = stage(cur)
         m = t - s
         valid = (m >= 0) & (m < M)
+        z = jnp.int32(0)  # int32 indices even under leaked jax_enable_x64
         written = jax.lax.dynamic_update_slice(
             outs, caps[None].astype(outs.dtype),
-            (jnp.clip(m, 0, M - 1), 0, 0, 0, 0))
+            (jnp.clip(m, 0, M - 1).astype(jnp.int32), z, z, z, z))
         outs = jnp.where(valid, written, outs)
         y_next = jax.lax.ppermute(y, pp_axis, perm)
         feed = toks[jnp.clip(t + 1, 0, M - 1)]
         cur = jnp.where(s == 0, feed, y_next)
         return (cur, outs), None
 
+    # int32 tick counter: under jax_enable_x64 (leaked by callers) a bare
+    # arange would be int64 and mix dtypes with the int32 axis_index.
     (_, outs), _ = jax.lax.scan(tick, (cur0, outs0),
-                                jnp.arange(M + pp - 1))
+                                jnp.arange(M + pp - 1, dtype=jnp.int32))
     return outs
 
 

@@ -46,7 +46,10 @@ def _ring_self_attention_local(q, k, v, *, axis: str, valid_len, scale):
 
     def step(s, carry):
         kc, vc, m, l, acc = carry
-        src = jax.lax.rem(me + s, sp)
+        # Pin every operand to int32: under jax_enable_x64 (leaked by
+        # callers) the fori_loop index and python-int literals promote to
+        # int64 and lax.rem refuses mixed dtypes.
+        src = jax.lax.rem(me + jnp.asarray(s, jnp.int32), jnp.int32(sp))
         logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kc.astype(jnp.float32))
         col = src * Nl + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
         logits = jnp.where(col < valid_len, logits, _NEG_INF)

@@ -75,6 +75,89 @@ def make_train_step(cfg: VGGTConfig, mesh, params, optimizer=None):
                                    batch=batch_shardings)
 
 
+def make_zero1_train_step(cfg: VGGTConfig, mesh, params, optimizer=None):
+    """ZeRO-1 variant of make_train_step: optimizer state sharded over dp.
+
+    Params stay replicated for the forward/backward (grads reduce over dp
+    as usual), but the AdamW moments - 2x the params in f32, the dominant
+    training-memory term - live dp-sharded: all params flatten into one
+    1-D vector padded to a dp multiple, each dp shard owns 1/dp of it, and
+    the update runs inside shard_map on the local slice only (optimizer
+    math is elementwise, so flat-vector AdamW is exactly tree AdamW).
+    The updated param vector all-gathers back over ICI (out_spec P() with
+    an explicit all_gather), i.e. the classic reduce-scatter/all-gather
+    data-parallel update cycle. Trajectory parity with the replicated
+    step (up to collective reduction-order noise) is asserted in
+    tests/test_parallel.py::TestZero1.
+    """
+    if optimizer is None:
+        optimizer = optax.adamw(1e-4, weight_decay=0.05)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape["dp"]
+    leaves, treedef = jax.tree.flatten(params)
+    sizes = [int(l.size) for l in leaves]
+    shapes = [l.shape for l in leaves]
+    dtypes = [l.dtype for l in leaves]
+    total = sum(sizes)
+    padded = -(-total // dp) * dp
+
+    def flatten(tree):
+        ls = jax.tree.leaves(tree)
+        vec = jnp.concatenate([l.astype(jnp.float32).ravel() for l in ls])
+        return jnp.pad(vec, (0, padded - total))
+
+    def unflatten(vec):
+        out, off = [], 0
+        for sz, shp, dt in zip(sizes, shapes, dtypes):
+            out.append(vec[off:off + sz].reshape(shp).astype(dt))
+            off += sz
+        return jax.tree.unflatten(treedef, out)
+
+    pvec0 = flatten(params)
+    r_shard = replicated(mesh)
+    # Moment vectors shard over dp; scalar state (the AdamW step count)
+    # stays replicated.
+    local_sd = jax.eval_shape(optimizer.init,
+                              jnp.zeros((padded // dp,), jnp.float32))
+    o_spec = jax.tree.map(lambda x: P("dp") if x.ndim >= 1 else P(),
+                          local_sd)
+    o_shard = jax.tree.map(lambda s: NamedSharding(mesh, s), o_spec,
+                           is_leaf=lambda x: isinstance(x, P))
+    # Initialize the sharded moments: optimizer.init on the LOCAL slice in
+    # shard_map so no device ever materializes full-size moments.
+    opt_state = jax.jit(
+        jax.shard_map(optimizer.init, mesh=mesh, in_specs=P("dp"),
+                      out_specs=o_spec, check_vma=False),
+        out_shardings=o_shard)(pvec0)
+
+    p_shard_tree = jax.tree.map(lambda _: r_shard, params)
+    f_shard = frame_sharding(mesh)
+    batch_shardings = {"images": f_shard, "pose_enc_gt": f_shard,
+                       "depth_gt": f_shard, "points_gt": f_shard}
+
+    def local_update(pvec, gvec, opt_local):
+        # runs in shard_map: each dp shard updates its 1/dp slice.
+        updates, opt_local = optimizer.update(gvec, opt_local, pvec)
+        pvec = optax.apply_updates(pvec, updates)
+        return jax.lax.all_gather(pvec, "dp", tiled=True), opt_local
+
+    upd = jax.shard_map(local_update, mesh=mesh,
+                        in_specs=(P("dp"), P("dp"), o_spec),
+                        out_specs=(P(), o_spec), check_vma=False)
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda q: vggt_loss(cfg, q, batch))(params)
+        pvec, opt_state = upd(flatten(params), flatten(grads), opt_state)
+        return unflatten(pvec), opt_state, loss
+
+    jitted = jax.jit(step,
+                     in_shardings=(p_shard_tree, o_shard, batch_shardings),
+                     out_shardings=(p_shard_tree, o_shard, r_shard))
+    return jitted, opt_state
+
+
 def make_dryrun_batch(cfg: VGGTConfig, n_frames: int, image_hw):
     H, W = image_hw
     key = jax.random.PRNGKey(0)
