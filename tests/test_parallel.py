@@ -275,6 +275,24 @@ class TestZero1:
             assert shard_shapes == {(l.shape[0] // mesh.shape["dp"],)}
 
 
+class TestRemat:
+    def test_grads_match_unrematted(self, setup, cpu_devices):
+        """cfg.remat wraps every encoder/frame/global block in nn.remat.
+        Checkpointing replays the exact same ops in the backward pass, so
+        gradients must match the un-rematted program (bit-identical in
+        practice; tolerance covers fusion-order noise)."""
+        import dataclasses
+        from vggt_slam_tpu.parallel.train import make_dryrun_batch, vggt_loss
+        cfg, params = setup
+        cfg_r = dataclasses.replace(cfg, remat=True)
+        batch = make_dryrun_batch(cfg, 2, (56, 70))
+        g_plain = jax.jit(jax.grad(lambda p: vggt_loss(cfg, p, batch)))(params)
+        g_remat = jax.jit(jax.grad(lambda p: vggt_loss(cfg_r, p, batch)))(params)
+        for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
 class TestShardedDepthMode:
     def test_point_head_disabled_with_unprojection(self, setup, cpu_devices):
         """The CLI's default --shard configuration: enable_point_head=False

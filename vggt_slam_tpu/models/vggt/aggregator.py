@@ -159,11 +159,18 @@ class Aggregator(nn.Module):
 
         captured: Dict[int, jax.Array] = {}
         capture_set = set(cfg.dpt_layers) | {cfg.agg_depth - 1}
+        # Gradient checkpointing (cfg.remat): recompute block activations in
+        # the backward pass. Global blocks stay un-rematted when K/V merging
+        # is on - the kv_map closure is a non-array argument jax.checkpoint
+        # can't thread (training runs exact attention; see config.remat).
+        FrameBlock = nn.remat(Block) if cfg.remat else Block
+        GlobalBlock = nn.remat(Block) if (cfg.remat and kv_index is None) \
+            else Block
         for d in range(cfg.agg_depth):
-            x = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
-                      layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
-                      attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
-                      name=f"frame_block_{d}")(
+            x = FrameBlock(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
+                           layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
+                           attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
+                           name=f"frame_block_{d}")(
                 x, cos, sin)
             frame_out = x
 
@@ -171,7 +178,7 @@ class Aggregator(nn.Module):
                 _compute_assignment(x)
 
             xg = x.reshape(1, S * N, cfg.agg_dim)
-            xg = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
+            xg = GlobalBlock(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
                        layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
                        attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
                        qk_int8=cfg.global_qk_int8,

@@ -102,6 +102,17 @@ class VGGTConfig:
     # cheap to all-gather. Wired by parallel.infer (seq_parallel=True).
     global_seq_mesh: object = None
     global_seq_axis: str = "dp"
+    # Gradient checkpointing (training): wrap every encoder/frame/global
+    # transformer block in nn.remat, so the backward pass recomputes block
+    # activations instead of keeping all 72 blocks' intermediates live -
+    # the classic HBM-for-FLOPs trade (activations are the dominant
+    # training-memory term at real shapes; params/optimizer memory is the
+    # ZeRO-1 step's job). Inference ignores it (no grads -> XLA keeps
+    # nothing anyway). Global blocks skip remat when K/V merging is on
+    # (global_kv_stride > 1): the shared ToMe kv_map closure is a
+    # non-array argument jax.checkpoint can't thread; training uses exact
+    # attention anyway (see parallel/pp.py).
+    remat: bool = False
 
     @property
     def tokens_per_frame_special(self) -> int:

@@ -61,11 +61,12 @@ class DinoViT(nn.Module):
             special.append(jnp.tile(reg.astype(x.dtype), (B, 1, 1)))
         x = jnp.concatenate(special + [x], axis=1)
 
+        BlockCls = nn.remat(Block) if cfg.remat else Block
         for i in range(cfg.enc_depth):
-            x = Block(cfg.enc_dim, cfg.enc_heads, cfg.enc_mlp_ratio,
-                      layerscale=cfg.enc_layerscale, dtype=cfg.dtype,
-                      attn_impl=cfg.attn_impl, ln_eps=1e-6,  # DINOv2 eps
-                      name=f"block_{i}")(x)
+            x = BlockCls(cfg.enc_dim, cfg.enc_heads, cfg.enc_mlp_ratio,
+                         layerscale=cfg.enc_layerscale, dtype=cfg.dtype,
+                         attn_impl=cfg.attn_impl, ln_eps=1e-6,  # DINOv2 eps
+                         name=f"block_{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-6,
                          name="norm")(x).astype(cfg.dtype)
         patches = x[:, 1 + cfg.enc_num_registers:]
