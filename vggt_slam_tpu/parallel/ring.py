@@ -46,6 +46,15 @@ def _ring_self_attention_local(q, k, v, *, axis: str, valid_len, scale):
 
     def step(s, carry):
         kc, vc, m, l, acc = carry
+        # Rotate FIRST, into separate values: the ppermute has no data
+        # dependence on this step's matmuls, so the next chunk's ICI
+        # transfer can overlap the current chunk's compute (issuing it
+        # after the compute would serialize comm behind each step).
+        # Send our chunk to the left neighbor, receive from the right -
+        # after s steps every shard holds chunk (me + s) % sp.
+        perm = [(j, (j - 1) % sp) for j in range(sp)]
+        kc_next = jax.lax.ppermute(kc, axis, perm)
+        vc_next = jax.lax.ppermute(vc, axis, perm)
         # Pin every operand to int32: under jax_enable_x64 (leaked by
         # callers) the fori_loop index and python-int literals promote to
         # int64 and lax.rem refuses mixed dtypes.
@@ -61,12 +70,7 @@ def _ring_self_attention_local(q, k, v, *, axis: str, valid_len, scale):
         acc = acc * corr + jnp.einsum(
             "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32))
         m = m_new
-        # Rotate: send our current chunk to the left neighbor, receive from
-        # the right - after s steps every shard holds chunk (me + s) % sp.
-        perm = [(j, (j - 1) % sp) for j in range(sp)]
-        kc = jax.lax.ppermute(kc, axis, perm)
-        vc = jax.lax.ppermute(vc, axis, perm)
-        return kc, vc, m, l, acc
+        return kc_next, vc_next, m, l, acc
 
     m0 = jnp.full((B, H, Nl, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, H, Nl, 1), jnp.float32)
