@@ -114,6 +114,19 @@ class Attention(nn.Module):
         H = self.num_heads
         Dh = C // H
 
+        if self.softmax_mode == "static" and not self.qk_norm:
+            # The static-max flash softmax replaces the running row max with
+            # a Cauchy-Schwarz bound over row norms; without qk-norm one
+            # outlier-norm key row inflates the bound for the whole (batch,
+            # head) and can silently flush entire attention rows to zero.
+            import warnings
+            warnings.warn(
+                "softmax_mode='static' without qk_norm: the static logit "
+                "bound is only sound for ~uniform q/k row norms; rows whose "
+                "true max logit sits >120 log2 units below the bound flush "
+                "to zero SILENTLY. Use qk_norm=True or softmax_mode="
+                "'online'.", RuntimeWarning, stacklevel=2)
+
         kernel = _FusedQKV(C, use_bias=self.qkv_bias, name="qkv")()
         qkv_kernel, qkv_bias = kernel
         qkv_kernel = qkv_kernel.astype(self.dtype)

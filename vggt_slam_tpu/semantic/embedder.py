@@ -160,6 +160,11 @@ class SemanticEmbedder:
         if bbox_expand_pct < 0:
             raise ValueError("bbox_expand_pct must be >= 0")
         self.mask_generator = mask_generator
+        # Track whether text queries run on the non-semantic hash fallbacks:
+        # color_hash_encoder (crops) and hash_text_encoder (text) embed into
+        # two UNRELATED spaces, so cross-modal cosine scores are arbitrary.
+        self.semantic_encoders = (crop_encoder is not None
+                                  and text_encoder is not None)
         self.crop_encoder = crop_encoder or color_hash_encoder
         self.text_encoder = text_encoder or hash_text_encoder
         self.target_hw = target_hw
@@ -211,7 +216,19 @@ class SemanticEmbedder:
         """Best mask for a text query (reference semantic_embedder.py:
         300-323): cosine similarity between the query's text embedding and
         every mask crop's embedding. Returns (index, segmentation (H,W)
-        bool at target_hw, score); (-1, None, -1.0) when no masks."""
+        bool at target_hw, score); (-1, None, -1.0) when no masks.
+
+        With the default hash fallback encoders the image and text spaces
+        are unrelated, so the returned score is NOT a semantic similarity —
+        a RuntimeWarning flags this at call time."""
+        if not self.semantic_encoders:
+            import warnings
+            warnings.warn(
+                "best_match_from_text is running on the non-semantic hash "
+                "fallback encoders: the returned mask is arbitrary and the "
+                "score is not a CLIP-style similarity. Pass crop_encoder/"
+                "text_encoder (e.g. make_hf_clip_encoder) for real queries.",
+                RuntimeWarning, stacklevel=2)
         _, masks, embs = self.propose_and_embed(image_rgb)
         if not masks:
             return -1, None, -1.0

@@ -73,7 +73,9 @@ def umeyama_sim3_np(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
         raise ValueError(f"src/dst must be Nx3 same shape; {src.shape} vs {dst.shape}")
     n = src.shape[0]
     if n < 3:
-        raise ValueError("Need at least 3 correspondences for Sim(3) alignment.")
+        raise ValueError(
+            f"Sim(3) Umeyama is underdetermined with {n} point pair(s); "
+            "3+ non-collinear pairs required")
     mu_s, mu_d = src.mean(0), dst.mean(0)
     X, Y = src - mu_s, dst - mu_d
     cov = (Y.T @ X) / n

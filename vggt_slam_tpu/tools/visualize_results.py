@@ -87,6 +87,12 @@ def load_matched_images(image_folder: str, frame_ids=None):
         matched = [by_stem[fid] for fid in frame_ids if fid in by_stem]
         if len(matched) == len(frame_ids):
             files = matched
+        elif matched:
+            # Partial stem match: sorted file order may pair frustums with
+            # the WRONG images even when the counts happen to line up.
+            print(f"WARNING: only {len(matched)}/{len(frame_ids)} frame ids "
+                  "matched image filename stems; falling back to sorted "
+                  "file order (frustum textures may be misassigned)")
     imgs = []
     for p in files:
         img = cv2.imread(p)
