@@ -53,7 +53,7 @@ parser.add_argument("--retrieval_checkpoint", type=str, default=None,
                          "closure is DISABLED when absent (random "
                          "descriptors would insert bogus loop factors)")
 parser.add_argument("--model_size", type=str, default="1b",
-                    choices=["1b", "tiny"], help="model configuration")
+                    choices=["1b", "small", "tiny"], help="model configuration")
 parser.add_argument("--global_kv_stride", type=int, default=4,
                     help="FastVGGT-style global-attention K/V token merging "
                          "budget: one K/V slot per N patch tokens of "
@@ -127,6 +127,11 @@ def build_model_fn(args):
         cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
                               global_merge=merge, global_qk_int8=qk_int8,
                               enable_point_head=point_head, **sm_kw)
+    elif args.model_size == "small":
+        cfg = VGGTConfig.small(attn_impl="flash" if on_tpu else "chunked",
+                               global_kv_stride=stride, global_merge=merge,
+                               global_qk_int8=qk_int8,
+                               enable_point_head=point_head, **sm_kw)
     else:
         cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
                                  global_kv_stride=stride, global_merge=merge,

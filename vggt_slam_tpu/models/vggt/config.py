@@ -127,6 +127,23 @@ class VGGTConfig:
         return VGGTConfig(**overrides)
 
     @staticmethod
+    def small(**overrides) -> "VGGTConfig":
+        """Small-but-real configuration: same structure as VGGT-1B at
+        ~1/8 width and ~1/4 depth. Big enough to learn real geometry from
+        the synthetic 3D generator (tools/train_tiny.py) - which makes the
+        eval-harness ATE accuracy-bearing in this no-egress environment -
+        yet small enough to train on one chip in hours."""
+        base = dict(
+            enc_dim=128, enc_depth=4, enc_heads=4,
+            agg_dim=128, agg_depth=6, agg_heads=4,
+            cam_trunk_depth=2, cam_iterations=4,
+            dpt_layers=(1, 3, 5), dpt_features=64,
+            dpt_out_channels=(64, 128, 128),
+        )
+        base.update(overrides)
+        return VGGTConfig(**base)
+
+    @staticmethod
     def tiny(**overrides) -> "VGGTConfig":
         base = dict(
             img_size=56, patch_size=14,

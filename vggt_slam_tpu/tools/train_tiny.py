@@ -1,0 +1,203 @@
+"""Train a small VGGT on synthetic 3D scenes (single chip).
+
+Purpose: make the eval harness ACCURACY-BEARING in this no-egress
+environment. The released facebook/VGGT-1B weights cannot be fetched here,
+so every end-to-end accuracy number would otherwise ride on random weights
+or a deterministic fake. Training `VGGTConfig.small` on the heightfield
+generator (tools/synth3d.py) until real geometry emerges gives the SLAM
+pipeline a model whose pose/depth predictions respond to the input images -
+which is what lets the merged-vs-exact global-attention A/B (evals/ab_*)
+measure merging's actual trajectory cost on THIS implementation instead of
+citing FastVGGT's paper number.
+
+Losses follow the VGGT paper's recipe (as parallel/train.vggt_loss):
+camera pose-encoding regression + confidence-weighted dense depth
+(conf * |err| - alpha * log conf), with a pose-weight knob because ATE is a
+pose metric. Trains with EXACT attention (global_kv_stride=1); merging is
+an inference-time operating point to be A/B'd, not trained through.
+
+CLI:
+  python -m vggt_slam_tpu.tools.train_tiny --out warmcache/small_synth \
+      [--steps 8000] [--frames 10] [--model_size small]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_cfg(model_size: str, on_tpu: bool):
+    import jax.numpy as jnp
+
+    from vggt_slam_tpu.models.vggt.config import VGGTConfig
+
+    kw = dict(
+        # The Pallas flash kernel is forward-only; training differentiates
+        # through the chunked XLA path (ops/attention.py module docstring).
+        attn_impl="chunked",
+        enable_point_head=False,     # eval CLI unprojects from depth
+        global_kv_stride=1,          # train with exact attention
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        # Without remat the backward keeps every global block's chunked
+        # softmax residuals live at once - O(depth * (S*N)^2) - which OOMs
+        # one chip already at S=10. Per-block recompute caps it at one
+        # block's attention matrix.
+        remat=True,
+    )
+    if model_size == "small":
+        return VGGTConfig.small(**kw)
+    return VGGTConfig.tiny(img_size=518, **kw)
+
+
+def make_loss_fn(cfg, pose_weight: float, conf_alpha: float):
+    import jax.numpy as jnp
+
+    from vggt_slam_tpu.models.vggt.model import VGGT
+
+    model = VGGT(cfg)
+
+    def loss_fn(params, batch):
+        out = model.apply(params, batch["images"])
+        pose_err = (out["pose_enc"] - batch["pose_enc_gt"]) ** 2
+        pose_loss = jnp.mean(pose_err)
+        err = jnp.abs(out["depth"][..., 0] - batch["depth_gt"])
+        conf = out["depth_conf"]
+        depth_loss = jnp.mean(conf * err - conf_alpha * jnp.log(conf))
+        aux = {"pose_mse": pose_loss, "depth_l1": jnp.mean(err),
+               # Translation-only error: the part ATE actually scores.
+               "trans_rmse": jnp.sqrt(jnp.mean(pose_err[:, :3]))}
+        return pose_weight * pose_loss + depth_loss, aux
+
+    return loss_fn
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train small VGGT on synth3d")
+    p.add_argument("--out", required=True,
+                   help="output dir (checkpoint.npz + train_log.jsonl)")
+    p.add_argument("--steps", type=int, default=8000)
+    p.add_argument("--frames", type=int, default=10,
+                   help="frames per scene batch (match the eval submap "
+                        "bucket: submap_size + overlap + max_loops)")
+    p.add_argument("--image_hw", type=int, nargs=2, default=(392, 518))
+    p.add_argument("--model_size", default="small",
+                   choices=["small", "tiny"])
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup", type=int, default=200)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--clip", type=float, default=1.0)
+    p.add_argument("--pose_weight", type=float, default=5.0)
+    p.add_argument("--conf_alpha", type=float, default=0.2)
+    p.add_argument("--ckpt_every", type=int, default=500)
+    p.add_argument("--val_every", type=int, default=250)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint.npz to warm-start params from")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vggt_slam_tpu.models.vggt.convert import (load_checkpoint,
+                                                   save_checkpoint)
+    from vggt_slam_tpu.models.vggt.model import VGGT, param_count
+    from vggt_slam_tpu.tools import synth3d
+    from vggt_slam_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = build_cfg(args.model_size, on_tpu)
+    H, W = args.image_hw
+    os.makedirs(args.out, exist_ok=True)
+
+    model = VGGT(cfg)
+    t0 = time.time()
+    params = jax.jit(model.init, static_argnums=())(
+        jax.random.PRNGKey(args.seed), jnp.zeros((2, 3, H, W)))
+    if args.resume:
+        params = load_checkpoint(args.resume, params)
+        print(f"resumed params from {args.resume}", flush=True)
+    n_params = param_count(params)
+    print(f"backend={jax.default_backend()} model={args.model_size} "
+          f"params={n_params/1e6:.2f}M init={time.time()-t0:.1f}s",
+          flush=True)
+
+    warmup = min(args.warmup, max(args.steps // 4, 1))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup, max(args.steps, warmup + 1), args.lr * 1e-2)
+    tx = optax.chain(optax.clip_by_global_norm(args.clip),
+                     optax.adamw(sched, weight_decay=args.weight_decay))
+    opt_state = tx.init(params)
+
+    loss_fn = make_loss_fn(cfg, args.pose_weight, args.conf_alpha)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    eval_loss = jax.jit(loss_fn)
+
+    def get_batch(seed):
+        b = synth3d.training_batch(seed, n_frames=args.frames,
+                                   image_hw=(H, W))
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    # Fixed validation scenes (seeds disjoint from the training stream and
+    # from the eval sequences, which use small seeds).
+    val_batches = [get_batch(1_000_000 + i) for i in range(3)]
+
+    log_path = os.path.join(args.out, "train_log.jsonl")
+    ckpt_path = os.path.join(args.out, "checkpoint.npz")
+    best_val = float("inf")
+    t_start = time.time()
+    pending = None  # (step, handles) - read back one step late (async)
+
+    for step in range(1, args.steps + 1):
+        batch = get_batch(args.seed * 10_000_000 + step)
+        params, opt_state, loss, aux = train_step(params, opt_state, batch)
+        if pending is not None:
+            ps, ploss, paux = pending
+            row = {"step": ps, "loss": float(ploss),
+                   **{k: float(v) for k, v in paux.items()},
+                   "wall_s": round(time.time() - t_start, 1)}
+            if ps % 25 == 0 or ps == 1:
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+                print(row, flush=True)
+        pending = (step, loss, aux)
+
+        if step % args.val_every == 0 or step == args.steps:
+            vals = [eval_loss(params, vb) for vb in val_batches]
+            vloss = float(np.mean([float(v[0]) for v in vals]))
+            vtrans = float(np.mean([float(v[1]["trans_rmse"]) for v in vals]))
+            vdepth = float(np.mean([float(v[1]["depth_l1"]) for v in vals]))
+            row = {"step": step, "val_loss": vloss, "val_trans_rmse": vtrans,
+                   "val_depth_l1": vdepth,
+                   "wall_s": round(time.time() - t_start, 1)}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(row, flush=True)
+            if vloss < best_val:
+                best_val = vloss
+                save_checkpoint(params, ckpt_path)
+                print(f"saved {ckpt_path} (val_loss {vloss:.4f})", flush=True)
+
+        if step % args.ckpt_every == 0:
+            save_checkpoint(params, os.path.join(args.out, "last.npz"))
+
+    save_checkpoint(params, os.path.join(args.out, "last.npz"))
+    print(f"done: best val_loss {best_val:.4f}; checkpoint at {ckpt_path}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
