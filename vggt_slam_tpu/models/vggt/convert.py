@@ -122,6 +122,17 @@ def _structural_transforms(flat_t: dict) -> None:
     this the generic name mapping leaves both parameters at random init
     (shapes don't match) for any real DINOv2-family checkpoint.
     """
+    # Aggregator special tokens: the released VGGT stores camera_token as
+    # (1, 2, 1, C) and register_token as (1, 2, R, C) (leading broadcast
+    # dim; index 0 = frame 0's params, 1 = all other frames'). Our flax
+    # params drop the leading 1: (2, 1, C) / (2, R, C). Caught by the
+    # full-scale manifest test (tests/test_convert_manifest.py).
+    for key in ("aggregator.camera_token", "aggregator.register_token"):
+        arr = flat_t.get(key)
+        if arr is not None and arr.ndim == 4 and arr.shape[0] == 1 \
+                and arr.shape[1] == 2:
+            flat_t[key] = arr[0]
+
     for key in list(flat_t):
         if not key.endswith("pos_embed"):
             continue
