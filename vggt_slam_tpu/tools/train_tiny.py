@@ -155,6 +155,21 @@ def main():
     # from the eval sequences, which use small seeds).
     val_batches = [get_batch(1_000_000 + i) for i in range(3)]
 
+    # Prefetch batches on a worker thread: host-side scene rendering
+    # (~0.5 s) plus the tunnel transfer (~0.8 s) otherwise serialize with
+    # the ~0.4 s device step. device_put from the worker is safe (jax is
+    # thread-safe for transfers); the queue bounds host memory.
+    import queue
+    import threading
+
+    batch_q: "queue.Queue" = queue.Queue(maxsize=3)
+
+    def producer():
+        for step in range(1, args.steps + 1):
+            batch_q.put(get_batch(args.seed * 10_000_000 + step))
+
+    threading.Thread(target=producer, daemon=True).start()
+
     log_path = os.path.join(args.out, "train_log.jsonl")
     ckpt_path = os.path.join(args.out, "checkpoint.npz")
     best_val = float("inf")
@@ -162,7 +177,7 @@ def main():
     pending = None  # (step, handles) - read back one step late (async)
 
     for step in range(1, args.steps + 1):
-        batch = get_batch(args.seed * 10_000_000 + step)
+        batch = batch_q.get()
         params, opt_state, loss, aux = train_step(params, opt_state, batch)
         if pending is not None:
             ps, ploss, paux = pending

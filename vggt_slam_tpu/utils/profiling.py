@@ -112,8 +112,12 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_comp") -> None:
     if os.path.isdir(seed):
         for name in os.listdir(seed):
             dst = os.path.join(path, name)
+            src = os.path.join(seed, name)
+            # The seed dir also holds non-cache artifacts (training run
+            # dirs, README) — only cache entry FILES are linkable.
+            if not os.path.isfile(src):
+                continue
             if not os.path.exists(dst):
-                src = os.path.join(seed, name)
                 try:
                     os.link(src, dst)
                 except OSError:
