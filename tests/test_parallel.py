@@ -105,12 +105,93 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=2e-6, err_msg=f"valid_len={vl}")
 
-    def test_indivisible_tokens_rejected(self, cpu_devices):
+    def test_indivisible_tokens_pad_and_mask(self, cpu_devices):
+        """Token counts that don't divide the ring size are padded to the
+        next multiple and the pad keys masked - parity must still hold."""
+        from vggt_slam_tpu.ops.attention import naive_attention
         from vggt_slam_tpu.parallel.ring import ring_self_attention
         mesh = make_mesh(cpu_devices, tp=1)
-        q, k, v = self._qkv(8 * 48 + 4)
-        with pytest.raises(ValueError):
-            ring_self_attention(q, k, v, mesh, axis="dp")
+        for N in (8 * 48 + 4, 100, 13):
+            q, k, v = self._qkv(N, seed=N)
+            out = ring_self_attention(q, k, v, mesh, axis="dp")
+            ref = naive_attention(q, k, v)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-6, err_msg=f"N={N}")
+
+    def test_indivisible_with_valid_len(self, cpu_devices):
+        from vggt_slam_tpu.ops.attention import naive_attention
+        from vggt_slam_tpu.parallel.ring import ring_self_attention
+        mesh = make_mesh(cpu_devices, tp=1)
+        q, k, v = self._qkv(8 * 48 + 17, seed=3)
+        vl = 100
+        out = ring_self_attention(q, k, v, mesh, axis="dp",
+                                  valid_len=jnp.int32(vl))
+        ref = naive_attention(q, k[:, :, :vl], v[:, :, :vl])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6)
+
+    def test_flash_stats_merge_matches_naive(self):
+        """The stats-returning flash kernel (interpret mode) merged across
+        disjoint K/V chunks with the ring recurrence reproduces the full
+        softmax - validating both the kernel's (m, l) contract and the
+        exp2-domain merge used on TPU rings."""
+        from vggt_slam_tpu.ops.attention import (flash_attention,
+                                                 naive_attention)
+        rng = np.random.default_rng(7)
+        B, H, N, D = 1, 2, 96, 16
+        q, k, v = (jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+                   for _ in range(3))
+        n_chunks = 4
+        Nl = N // n_chunks
+        m = jnp.full((B, H, N, 1), -1e30, jnp.float32)
+        l = jnp.zeros((B, H, N, 1), jnp.float32)
+        acc = jnp.zeros((B, H, N, D), jnp.float32)
+        for c in range(n_chunks):
+            kc = k[:, :, c * Nl:(c + 1) * Nl]
+            vc = v[:, :, c * Nl:(c + 1) * Nl]
+            o_s, m_s, l_s = flash_attention(q, kc, vc, interpret=True,
+                                            return_stats=True)
+            m_s, l_s = m_s[..., None], l_s[..., None]
+            m_new = jnp.maximum(m, m_s)
+            c_prev = jnp.exp2(m - m_new)
+            c_s = l_s * jnp.exp2(m_s - m_new)
+            acc = acc * c_prev + o_s.astype(jnp.float32) * c_s
+            l = l * c_prev + c_s
+            m = m_new
+        out = acc / jnp.maximum(l, 1e-30)
+        ref = naive_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_flash_stats_multiblock_masked(self):
+        """Stats mode on the multi-k-block path (online and static softmax)
+        with a traced valid_len: (m, l) must describe the same softmax the
+        normalized output used."""
+        from vggt_slam_tpu.ops.attention import (flash_attention,
+                                                 naive_attention)
+        rng = np.random.default_rng(11)
+        B, H, N, D = 1, 2, 512, 16
+        q, k, v = (jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+                   for _ in range(3))
+        vl = 300
+        for softmax in ("online", "static"):
+            o, m, l = flash_attention(q, k, v, valid_len=jnp.int32(vl),
+                                      block_q=128, block_k=128,
+                                      interpret=True, return_stats=True,
+                                      softmax=softmax)
+            ref = naive_attention(q, k[:, :, :vl], v[:, :, :vl])
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                       atol=2e-5, err_msg=softmax)
+            # Reconstruct the unnormalized row sums and check them against
+            # the true logits: sum_k exp2(s_k - m) == l.
+            import math as _math
+            logits2 = np.einsum(
+                "bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k[:, :, :vl]),
+            ) * (_math.log2(_math.e) / _math.sqrt(D))
+            l_ref = np.sum(np.exp2(logits2 - np.asarray(m)[..., None]),
+                           axis=-1)
+            np.testing.assert_allclose(np.asarray(l), l_ref, rtol=1e-4,
+                                       err_msg=softmax)
 
     def test_seq_parallel_model_matches_single_device(self, setup,
                                                       cpu_devices):

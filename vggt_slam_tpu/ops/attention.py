@@ -103,7 +103,8 @@ def _quant_i8(x, inv):
 
 
 def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
-                  has_bias, qk_int8=False, static_max=False):
+                  has_bias, qk_int8=False, static_max=False,
+                  return_stats=False):
     """Online-softmax step for one (q-block, k-block) tile.
 
     VPU-lean design (the kernel is ~half VPU-bound at D=64, where both
@@ -151,7 +152,12 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
         off += 4
     if has_rope or qk_int8:
         qr_ref, ks_ref = refs[-2:]
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs[off:off + 7]
+    mo_ref = lo_ref = None
+    if return_stats:
+        (q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
+         acc_ref, m_ref, l_ref) = refs[off:off + 9]
+    else:
+        q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs[off:off + 7]
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -247,9 +253,21 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
     def _finish():
         o_ref[...] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
                       ).astype(o_ref.dtype).reshape(o_ref.shape)
+        if return_stats:
+            # Softmax stats in the kernel's exp2 domain (scale and log2(e)
+            # already folded into the logits): m = the value the summands
+            # were shifted by (running row max, or the static bound), l =
+            # sum of exp2(s - m). Enough to merge partial softmaxes across
+            # K/V chunks (parallel/ring.py).
+            if static_max:
+                mo_ref[...] = jnp.full_like(mo_ref, sm_ref[b])
+            else:
+                mo_ref[...] = m_ref[:].reshape(mo_ref.shape)
+            lo_ref[...] = l_ref[:].reshape(lo_ref.shape)
 
 
-def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias):
+def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias,
+                         return_stats=False):
     """One-shot softmax for Nk <= one k-block (frame attention, camera
     trunk): no online-softmax accumulators, no m/l scratch traffic."""
     off = 0
@@ -259,7 +277,11 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias):
     if has_rope:
         cq_ref, sq_ref, ck_ref, sk_ref = refs[off:off + 4]
         off += 4
-    q_ref, k_ref, v_ref, o_ref = refs[off:off + 4]
+    mo_ref = lo_ref = None
+    if return_stats:
+        q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref = refs[off:off + 6]
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs[off:off + 4]
     q = _sq(q_ref)                               # (block_q, D)
     k = _sq(k_ref)                               # (Nk_pad, D)
     v = _sq(v_ref)
@@ -280,6 +302,11 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias):
                             preferred_element_type=jnp.float32)
     o_ref[...] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)\
         .reshape(o_ref.shape)
+    if return_stats:
+        mo_ref[...] = jnp.broadcast_to(m, mo_ref.shape[-2:]) \
+            .reshape(mo_ref.shape)
+        lo_ref[...] = jnp.broadcast_to(l, lo_ref.shape[-2:]) \
+            .reshape(lo_ref.shape)
 
 
 def _apply_rope_wide(x, cos, sin):
@@ -306,11 +333,11 @@ def _rope_tables(cos, sin, scale: float, n_pad: int):
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret", "layout",
-                              "qk_int8", "softmax"),
+                              "qk_int8", "softmax", "return_stats"),
 )
 def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                 rope_q=None, rope_k=None, layout="bhnd", kv_bias=None,
-                qk_int8=False, softmax="online"):
+                qk_int8=False, softmax="online", return_stats=False):
     """layout="bhnd": q/k/v are (B, H, N, D) - flattened to (B*H, N, D).
     layout="nhd":  q/k/v are (B, N, H, D) - the PROJECTION's natural output
     layout (reshape of (B, N, C) is free). The kernel then reads strided
@@ -391,6 +418,9 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         cfgpad[seq_ax] = (0, n)
         return jnp.pad(x, cfgpad) if n else x
 
+    if return_stats and layout == "nhd":
+        raise NotImplementedError("return_stats requires layout='bhnd'")
+
     if layout == "nhd":
         qf, kf, vf = pad_seq(q, pad_q), pad_seq(k, pad_k), pad_seq(v, pad_k)
 
@@ -433,9 +463,26 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         out_shape = jax.ShapeDtypeStruct((B * H, qf.shape[1], D), q.dtype)
         out_spec2 = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0))
         out_spec3 = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))
+        if return_stats:
+            # Per-row softmax stats as extra outputs (f32, lane-width 128
+            # tiles; only column 0 is meaningful).
+            st_shape = jax.ShapeDtypeStruct((B * H, qf.shape[1], 128),
+                                            jnp.float32)
+            st_spec2 = pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0))
+            st_spec3 = pl.BlockSpec((1, block_q, 128),
+                                    lambda b, i, j: (b, i, 0))
+            out_shape = [out_shape, st_shape, st_shape]
+            out_spec2 = [out_spec2, st_spec2, st_spec2]
+            out_spec3 = [out_spec3, st_spec3, st_spec3]
 
-        def unpack(out):
-            return out[:, :Nq].reshape(B, H, Nq, D)
+            def unpack(outs):
+                o, m, l = outs
+                return (o[:, :Nq].reshape(B, H, Nq, D),
+                        m[:, :Nq, 0].reshape(B, H, Nq),
+                        l[:, :Nq, 0].reshape(B, H, Nq))
+        else:
+            def unpack(out):
+                return out[:, :Nq].reshape(B, H, Nq, D)
 
         q_map2 = lambda b, i: (b, i, 0)            # noqa: E731
         k_map2 = lambda b, i: (b, 0, 0)            # noqa: E731
@@ -482,7 +529,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     if nk_blocks == 1:
         out = pl.pallas_call(
             functools.partial(_flash_single_kernel, masked=masked,
-                              has_rope=has_rope, has_bias=has_bias),
+                              has_rope=has_rope, has_bias=has_bias,
+                              return_stats=return_stats),
             grid=(B * H, nq_blocks),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + bias_specs2 +
             rope_specs2 + qkv_specs((q_map2, k_map2)),
@@ -500,7 +548,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     kernel = functools.partial(
         _flash_kernel, block_k=block_k,
         num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope,
-        has_bias=has_bias, qk_int8=use_int8, static_max=use_static)
+        has_bias=has_bias, qk_int8=use_int8, static_max=use_static,
+        return_stats=return_stats)
     sm_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if use_static else []
 
     scratch = [
@@ -542,8 +591,21 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
 def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
                     interpret=False, rope_q=None, rope_k=None,
                     layout="bhnd", kv_bias=None, qk_int8=False,
-                    softmax="online"):
+                    softmax="online", return_stats=False):
     """Pallas flash attention forward.
+
+    `return_stats` (layout="bhnd" only): additionally return the per-row
+    softmax statistics (m, l), each (B, H, Nq) f32, where the row output is
+    sum_k exp2(s_k - m) v_k / l with s the exp2-domain logits (softmax
+    scale and log2(e) folded in) and m the shift the kernel used (running
+    row max, or the static bound under softmax="static"). Two partial
+    results over disjoint key sets merge exactly:
+
+        m' = max(m_a, m_b);  w_x = l_x * exp2(m_x - m')
+        out = (w_a * out_a + w_b * out_b) / (w_a + w_b);  l' = w_a + w_b
+
+    which is what ring attention (parallel/ring.py) uses to chain the
+    kernel across rotating K/V chunks.
 
     `softmax`: "online" (default) runs the classic running-max online
     softmax; "static" replaces the running max with a per-(batch, head)
@@ -620,7 +682,8 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
         # on the first q sweep) - no pre-applied roped q/k round trips.
     return _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                        rope_q=rope_q, rope_k=rope_k, layout=layout,
-                       kv_bias=kv_bias, qk_int8=qk_int8, softmax=softmax)
+                       kv_bias=kv_bias, qk_int8=qk_int8, softmax=softmax,
+                       return_stats=return_stats)
 
 
 def attention(q, k, v, impl: str = "chunked", valid_len=None,

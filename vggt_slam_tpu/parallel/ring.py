@@ -15,13 +15,16 @@ Used by the exact-attention path only: with global K/V token merging the
 keys/values shrink 4x, so the plain jit-sharding all-gather of the merged
 set is already the right design there (parallel/infer.py).
 
-The inner per-chunk attention is plain XLA (einsum in bf16/f32) rather than
-the Pallas flash kernel: chunk sizes are N/dp so the logits tile is small,
-and this path must also run on CPU meshes for testing; swapping the inner
-op for a stats-returning flash kernel is a later optimization.
+The per-chunk inner op is the Pallas flash kernel in stats-returning mode
+on TPU (ops/attention.flash_attention(return_stats=True): each chunk's
+partial softmax comes back as (out, m, l) and merges exactly across ring
+steps), and a small einsum with the same exp2-domain stats on CPU meshes
+(tests). Scaling model and the exact-attention multi-chip arithmetic:
+ARCHITECTURE.md "Ring attention" section.
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -31,18 +34,61 @@ from jax.sharding import PartitionSpec as P
 _NEG_INF = -1e30
 
 
-def _ring_self_attention_local(q, k, v, *, axis: str, valid_len, scale):
+def _chunk_stats_einsum(q2, kc, vc, vl_local):
+    """Exact per-chunk attention with exp2-domain softmax stats.
+
+    q2: (B, H, Nl, D) f32 with log2(e)/sqrt(D) pre-folded; kc/vc one K/V
+    chunk; vl_local masks chunk-local key positions >= vl_local. Returns
+    (out, m, l) with out normalized within the chunk - the same contract
+    as flash_attention(return_stats=True), so the ring merge below serves
+    both inner ops.
+    """
+    s = jnp.einsum("bhqd,bhkd->bhqk", q2, kc.astype(jnp.float32))
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    s = jnp.where(col < vl_local, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)            # (B, H, Nl, 1)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vc.astype(jnp.float32))
+    return o / jnp.maximum(l, 1e-30), m, l
+
+
+def _chunk_stats_flash(q, kc, vc, vl_local):
+    """Stats-returning Pallas flash kernel on one K/V chunk (TPU)."""
+    from vggt_slam_tpu.ops.attention import flash_attention
+    o, m, l = flash_attention(q, kc, vc, valid_len=vl_local,
+                              return_stats=True)
+    return o.astype(jnp.float32), m[..., None], l[..., None]
+
+
+def _ring_self_attention_local(q, k, v, *, axis: str, valid_len, inner):
     """Body run INSIDE shard_map: q/k/v are (B, H, Nl, D) LOCAL chunks.
 
     Step s processes the K/V chunk that originated on shard
     (my_index + s) % sp, whose global key offset is src * Nl; masking
-    against `valid_len` (a replicated traced scalar) is applied in global
-    coordinates.
+    against `valid_len` (a replicated traced scalar) is applied by
+    translating it into that chunk's local coordinates.
     """
     sp = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     B, H, Nl, D = q.shape
-    qf = q.astype(jnp.float32) * scale
+    # Send our chunk to the left neighbor, receive from the right -
+    # after s steps every shard holds chunk (me + s) % sp.
+    perm = [(j, (j - 1) % sp) for j in range(sp)]
+
+    def attend(s, kc, vc, m, l, acc):
+        # Pin every operand to int32: under jax_enable_x64 (leaked by
+        # callers) the fori_loop index and python-int literals promote to
+        # int64 and lax.rem refuses mixed dtypes.
+        src = jax.lax.rem(me + jnp.asarray(s, jnp.int32), jnp.int32(sp))
+        vl_local = jnp.clip(valid_len - src * Nl, 0, Nl)
+        o_s, m_s, l_s = inner(q, kc, vc, vl_local)
+        m_new = jnp.maximum(m, m_s)
+        c_prev = jnp.exp2(m - m_new)
+        c_s = l_s * jnp.exp2(m_s - m_new)
+        acc = acc * c_prev + o_s * c_s
+        l = l * c_prev + c_s
+        return m_new, l, acc
 
     def step(s, carry):
         kc, vc, m, l, acc = carry
@@ -50,60 +96,67 @@ def _ring_self_attention_local(q, k, v, *, axis: str, valid_len, scale):
         # dependence on this step's matmuls, so the next chunk's ICI
         # transfer can overlap the current chunk's compute (issuing it
         # after the compute would serialize comm behind each step).
-        # Send our chunk to the left neighbor, receive from the right -
-        # after s steps every shard holds chunk (me + s) % sp.
-        perm = [(j, (j - 1) % sp) for j in range(sp)]
         kc_next = jax.lax.ppermute(kc, axis, perm)
         vc_next = jax.lax.ppermute(vc, axis, perm)
-        # Pin every operand to int32: under jax_enable_x64 (leaked by
-        # callers) the fori_loop index and python-int literals promote to
-        # int64 and lax.rem refuses mixed dtypes.
-        src = jax.lax.rem(me + jnp.asarray(s, jnp.int32), jnp.int32(sp))
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kc.astype(jnp.float32))
-        col = src * Nl + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
-        logits = jnp.where(col < valid_len, logits, _NEG_INF)
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(logits - m_new)
-        corr = jnp.exp(m - m_new)
-        l = corr * l + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32))
-        m = m_new
+        m, l, acc = attend(s, kc, vc, m, l, acc)
         return kc_next, vc_next, m, l, acc
 
     m0 = jnp.full((B, H, Nl, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, H, Nl, 1), jnp.float32)
     a0 = jnp.zeros((B, H, Nl, D), jnp.float32)
-    _, _, _, l, acc = jax.lax.fori_loop(0, sp, step, (k, v, m0, l0, a0))
+    # The LAST chunk needs no rotate (its successor is never consumed), so
+    # the loop runs the first sp-1 steps and the final attend is peeled -
+    # one fewer full K/V ppermute pair per ring.
+    kc, vc, m, l, acc = jax.lax.fori_loop(0, sp - 1, step,
+                                          (k, v, m0, l0, a0))
+    _, l, acc = attend(sp - 1, kc, vc, m, l, acc)
     out = acc / jnp.maximum(l, 1e-30)
-    return out.astype(q.dtype)
+    return out.astype(v.dtype)  # v keeps the caller dtype (q may be f32)
 
 
-def ring_self_attention(q, k, v, mesh, axis: str = "dp", valid_len=None):
+def ring_self_attention(q, k, v, mesh, axis: str = "dp", valid_len=None,
+                        inner: str = "auto"):
     """Sequence-parallel exact self-attention: (B, H, N, D) -> same.
 
     The token axis (2) is sharded over `mesh[axis]`; q stays resident and
     k/v rotate. `valid_len` (python int or traced int32 scalar) masks
-    global key positions >= valid_len (bucket padding). N must divide the
-    axis size. Exact softmax semantics - parity with naive attention is
+    global key positions >= valid_len (bucket padding). Token counts that
+    don't divide the axis size are padded to the next multiple and masked
+    (padding is appended, so real keys keep their global positions).
+    `inner` picks the per-chunk op: "flash" (Pallas kernel, TPU),
+    "einsum" (XLA, any backend), or "auto" (flash iff the default backend
+    is TPU). Exact softmax semantics - parity with naive attention is
     tested on an 8-device CPU mesh (tests/test_parallel.py).
     """
     N = q.shape[2]
     sp = mesh.shape[axis]
-    if N % sp != 0:
-        raise ValueError(f"token axis {N} not divisible by {axis}={sp}")
-    scale = 1.0 / math.sqrt(q.shape[-1])
     # Uniform plumbing: "no masking" is valid_len = N (every key valid).
     vl = jnp.asarray(N if valid_len is None else valid_len,
                      jnp.int32).reshape(1)
+    pad = (-N) % sp
+    if pad:
+        cfgpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(t, cfgpad) for t in (q, k, v))
+        vl = jnp.minimum(vl, N)  # padded keys are never valid
+
+    if inner == "auto":
+        inner = "flash" if jax.default_backend() == "tpu" else "einsum"
+    if inner == "flash":
+        inner_fn = _chunk_stats_flash
+        prep = lambda x: x  # noqa: E731 - kernel folds the scale itself
+    else:
+        c_scale = math.log2(math.e) / math.sqrt(q.shape[-1])
+        inner_fn = _chunk_stats_einsum
+        prep = lambda x: x.astype(jnp.float32) * c_scale  # noqa: E731
 
     spec = P(None, None, axis, None)
+    body = functools.partial(_ring_self_attention_local, axis=axis,
+                             inner=inner_fn)
 
-    def body(a, b, c, w):
-        return _ring_self_attention_local(a, b, c, axis=axis,
-                                          valid_len=w[0], scale=scale)
+    def fn_body(a, b, c, w):
+        return body(prep(a), b, c, valid_len=w[0])
 
-    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec, P()),
+    fn = jax.shard_map(fn_body, mesh=mesh, in_specs=(spec, spec, spec, P()),
                        out_specs=spec, check_vma=False)
-    return fn(q, k, v, vl)
+    out = fn(q, k, v, vl)
+    return out[:, :, :N] if pad else out
