@@ -236,13 +236,14 @@ class TestPipelineParallel:
     def test_loss_matches_serial(self, setup, cpu_devices):
         """pp x dp pipelined loss == mean of per-scene serial losses."""
         from vggt_slam_tpu.parallel.mesh import make_pp_mesh
-        from vggt_slam_tpu.parallel.pp import pp_vggt_loss
+        from vggt_slam_tpu.parallel.pp import pp_vggt_loss, to_pp_params
         from vggt_slam_tpu.parallel.train import vggt_loss
         cfg, params = setup
         mesh = make_pp_mesh(cpu_devices, pp=2)  # pp=2, dp=4; L=4 -> 2/stage
         batch = self._batch(cfg, B=8, S=2, hw=(56, 70))
         loss_pp = float(jax.jit(
-            lambda p, b: pp_vggt_loss(cfg, p, b, mesh))(params, batch))
+            lambda p, b: pp_vggt_loss(cfg, p, b, mesh))(
+                to_pp_params(cfg, params), batch))
         serial = [float(vggt_loss(cfg, params, jax.tree.map(
             lambda a, i=i: a[i], batch))) for i in range(8)]
         np.testing.assert_allclose(loss_pp, np.mean(serial),
@@ -251,29 +252,56 @@ class TestPipelineParallel:
     def test_four_stage_pipeline(self, setup, cpu_devices):
         """pp=4 (one depth pair per stage), dp=2, M=2 microbatches."""
         from vggt_slam_tpu.parallel.mesh import make_pp_mesh
-        from vggt_slam_tpu.parallel.pp import pp_vggt_loss
+        from vggt_slam_tpu.parallel.pp import pp_vggt_loss, to_pp_params
         from vggt_slam_tpu.parallel.train import vggt_loss
         cfg, params = setup
         mesh = make_pp_mesh(cpu_devices, pp=4)
         batch = self._batch(cfg, B=4, S=2, hw=(56, 70), seed=5)
         loss_pp = float(jax.jit(
-            lambda p, b: pp_vggt_loss(cfg, p, b, mesh))(params, batch))
+            lambda p, b: pp_vggt_loss(cfg, p, b, mesh))(
+                to_pp_params(cfg, params), batch))
         serial = [float(vggt_loss(cfg, params, jax.tree.map(
             lambda a, i=i: a[i], batch))) for i in range(4)]
         np.testing.assert_allclose(loss_pp, np.mean(serial),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_captures_only_head_depths(self, setup, cpu_devices):
+        """The pipelined trunk captures exactly the depths the heads
+        consume (cfg.dpt_layers + final), NOT one activation per depth."""
+        from vggt_slam_tpu.parallel.mesh import make_pp_mesh
+        from vggt_slam_tpu.parallel.pp import (pp_forward_captures,
+                                               to_pp_params)
+        cfg, params = setup
+        mesh = make_pp_mesh(cpu_devices, pp=4)  # 1 depth/stage: slot masks
+        batch = self._batch(cfg, B=4, S=2, hw=(56, 70), seed=5)
+        caps, depths = pp_forward_captures(
+            cfg, to_pp_params(cfg, params), batch["images"], mesh)
+        want = sorted(set(cfg.dpt_layers) | {cfg.agg_depth - 1})
+        assert depths == want
+        assert caps.shape[1] == len(want) < cfg.agg_depth
+
+    def test_pp_roundtrip(self, setup):
+        """to_pp_params/from_pp_params restore the standard tree exactly."""
+        from vggt_slam_tpu.parallel.pp import from_pp_params, to_pp_params
+        cfg, params = setup
+        back = from_pp_params(cfg, to_pp_params(cfg, params))
+        assert (jax.tree.structure(back) == jax.tree.structure(params))
+        for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_grads_match_serial(self, setup, cpu_devices):
         """Backward through scan + ppermute + masked writes is exact:
         grads of the pipelined loss == grads of the serial mean loss."""
         from vggt_slam_tpu.parallel.mesh import make_pp_mesh
-        from vggt_slam_tpu.parallel.pp import pp_vggt_loss
+        from vggt_slam_tpu.parallel.pp import (from_pp_params, pp_vggt_loss,
+                                               to_pp_params)
         from vggt_slam_tpu.parallel.train import vggt_loss
         cfg, params = setup
         mesh = make_pp_mesh(cpu_devices, pp=2)
         batch = self._batch(cfg, B=4, S=2, hw=(56, 70), seed=7)
-        g_pp = jax.jit(jax.grad(
-            lambda p: pp_vggt_loss(cfg, p, batch, mesh)))(params)
+        g_pp = from_pp_params(cfg, jax.jit(jax.grad(
+            lambda p: pp_vggt_loss(cfg, p, batch, mesh)))(
+                to_pp_params(cfg, params)))
 
         def serial_loss(p):
             losses = [vggt_loss(cfg, p, jax.tree.map(
@@ -296,16 +324,22 @@ class TestPipelineParallel:
                                            rtol=5e-4, atol=1e-6)
 
     def test_train_step_runs(self, setup, cpu_devices):
+        from jax.sharding import NamedSharding
         from vggt_slam_tpu.parallel.mesh import make_pp_mesh
         from vggt_slam_tpu.parallel.pp import make_pp_train_step
         cfg, params = setup
         mesh = make_pp_mesh(cpu_devices, pp=2)
-        step, opt_state = make_pp_train_step(cfg, mesh, params)
+        step, pp_params, opt_state = make_pp_train_step(cfg, mesh, params)
+        # The block stacks (and their AdamW moments) live pp-sharded from
+        # the start - no replicated->pp reshard inside the step.
+        fstack_leaf = jax.tree.leaves(pp_params["stacked"]["frame"])[0]
+        assert isinstance(fstack_leaf.sharding, NamedSharding)
+        assert fstack_leaf.sharding.spec == jax.sharding.PartitionSpec("pp")
         batch = self._batch(cfg, B=8, S=2, hw=(56, 70))
-        params2, opt_state, loss = step(params, opt_state, batch)
+        pp_params2, opt_state, loss = step(pp_params, opt_state, batch)
         assert np.isfinite(float(loss))
-        before = jax.tree.leaves(params)[0]
-        after = jax.tree.leaves(params2)[0]
+        before = jax.tree.leaves(pp_params)[0]
+        after = jax.tree.leaves(pp_params2)[0]
         assert not np.allclose(np.asarray(before), np.asarray(after))
 
 

@@ -14,9 +14,12 @@ scene shards - gradients reduce over dp through shard_map's transpose.
 Design notes:
   * Stage homogeneity: every aggregator depth has identical structure, so
     per-depth block params are STACKED along a leading depth axis and
-    sharded P("pp") - each stage holds agg_depth/pp depth slices. Stacking
-    happens inside the loss from the standard (checkpoint-compatible)
-    param tree; pre-stacking params is a later optimization.
+    sharded P("pp") - each stage holds agg_depth/pp depth slices. The
+    stacking happens ONCE, outside the jit (`to_pp_params`): the train
+    step consumes the pp param tree directly, so no per-step restack or
+    replicated->pp reshard exists in the compiled program (the source of
+    the round-2 dryrun's involuntary-full-rematerialization warning).
+    `from_pp_params` restores the standard (checkpoint-compatible) tree.
   * The DINOv2 encoder + token/RoPE assembly (preamble) and the DPT/camera
     heads + loss (postamble) run OUTSIDE the pipeline as plain dp-sharded
     SPMD over scenes - they are frame/scene-parallel and a small fraction
@@ -28,10 +31,12 @@ Design notes:
     on zeros (LayerNorm/attention are finite on zero input) and their
     writes are masked, so autodiff through the `lax.scan` over ticks stays
     exact; `ppermute`'s transpose reverses the ring for the backward pass.
-  * Every stage captures ALL of its depths' concat(frame_out, global_out)
-    outputs (the DPT heads need 4 interior depths, cfg.dpt_layers); the
-    heads then index the stacked capture. Capturing only the needed rows
-    would save activation memory at real scale - documented trade-off.
+  * Each stage captures ONLY the depths the heads consume
+    (cfg.dpt_layers + the final depth for the camera head), not all of its
+    depths: every stage carries k = max captures-per-stage slots (a static
+    per-stage slot->local-depth map selects into them; unused slots stay
+    zero), so pipelined activation memory scales with len(dpt_layers)
+    instead of agg_depth.
   * Exact global attention only (global_kv_stride == 1): the merged path's
     shared ToMe assignment is computed at depth 0 and consumed by all
     later depths, which would couple stages; training uses exact attention
@@ -43,6 +48,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -57,6 +63,65 @@ def _stack_blocks(agg_params, prefix: str, depth: int):
     """Stack params of `prefix`_0..`prefix`_{depth-1} along a new axis 0."""
     subtrees = [agg_params[f"{prefix}_{d}"] for d in range(depth)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *subtrees)
+
+
+def to_pp_params(cfg: VGGTConfig, params):
+    """Standard param tree -> pipeline tree: the aggregator's per-depth
+    frame/global block params stacked on a leading depth axis (to be
+    sharded P("pp")), everything else under "rest" (replicated)."""
+    p = dict(params["params"])
+    agg = dict(p["aggregator"])
+    fstack = _stack_blocks(agg, "frame_block", cfg.agg_depth)
+    gstack = _stack_blocks(agg, "global_block", cfg.agg_depth)
+    for d in range(cfg.agg_depth):
+        del agg[f"frame_block_{d}"]
+        del agg[f"global_block_{d}"]
+    p["aggregator"] = agg
+    return {"stacked": {"frame": fstack, "global": gstack},
+            "rest": {"params": p}}
+
+
+def from_pp_params(cfg: VGGTConfig, pp_params):
+    """Inverse of to_pp_params (also valid on grad trees, which mirror the
+    param structure)."""
+    p = dict(pp_params["rest"]["params"])
+    agg = dict(p["aggregator"])
+    for prefix, stack in (("frame", pp_params["stacked"]["frame"]),
+                          ("global", pp_params["stacked"]["global"])):
+        for d in range(cfg.agg_depth):
+            agg[f"{prefix}_block_{d}"] = jax.tree.map(
+                lambda a, d=d: a[d], stack)
+    p["aggregator"] = agg
+    return {"params": p}
+
+
+def pp_param_shardings(cfg: VGGTConfig, pp_params, mesh):
+    """Sharding tree for a pp param tree: stacked blocks split over the
+    pipeline axis, the rest replicated."""
+    stacked = jax.tree.map(lambda _: NamedSharding(mesh, P("pp")),
+                           pp_params["stacked"])
+    rest = jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                        pp_params["rest"])
+    return {"stacked": stacked, "rest": rest}
+
+
+def _capture_plan(cfg: VGGTConfig, pp: int):
+    """Static per-stage capture layout.
+
+    Returns (depths, slot_map, k): `depths` = sorted depths the heads need;
+    `slot_map` (pp, k) int32 with the LOCAL depth index each slot captures
+    (-1 = unused slot); `k` = slots per stage (max captures of any stage).
+    The global capture column of depth d is stage(d) * k + its slot index.
+    """
+    depths = sorted(set(cfg.dpt_layers) | {cfg.agg_depth - 1})
+    L_local = cfg.agg_depth // pp
+    per_stage = [[d % L_local for d in depths if d // L_local == s]
+                 for s in range(pp)]
+    k = max(1, max(len(c) for c in per_stage))
+    slot_map = np.full((pp, k), -1, np.int32)
+    for s, caps in enumerate(per_stage):
+        slot_map[s, :len(caps)] = caps
+    return depths, slot_map, k
 
 
 def _preamble(cfg: VGGTConfig, agg_params, images):
@@ -93,14 +158,17 @@ def _preamble(cfg: VGGTConfig, agg_params, images):
     return x, cos, sin
 
 
-def _stage_body(cfg: VGGTConfig, fstack, gstack, x, cos, sin):
+def _stage_body(cfg: VGGTConfig, fstack, gstack, x, cos, sin, slots):
     """Apply this stage's L_local (frame, global) pairs to one scene.
 
-    x: (S, N, C). Returns (y, caps) with caps (L_local, S, N, 2C)."""
+    x: (S, N, C); slots: (k,) int32 LOCAL depth indices this stage must
+    capture (-1 = unused slot, stays zero). Returns (y, caps) with caps
+    (k, S, N, 2C)."""
     S, N, C = x.shape
     cos_g = jnp.tile(cos, (S, 1))
     sin_g = jnp.tile(sin, (S, 1))
     L_local = jax.tree.leaves(fstack)[0].shape[0]
+    k = slots.shape[0]
     frame_blk = Block(cfg.agg_dim, cfg.agg_heads, cfg.agg_mlp_ratio,
                       layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
                       attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm)
@@ -108,7 +176,7 @@ def _stage_body(cfg: VGGTConfig, fstack, gstack, x, cos, sin):
                        layerscale=cfg.agg_layerscale, dtype=cfg.dtype,
                        attn_impl=cfg.attn_impl, qk_norm=cfg.agg_qk_norm,
                        softmax_mode=cfg.global_softmax)
-    caps = []
+    caps = [jnp.zeros((S, N, 2 * C), x.dtype) for _ in range(k)]
     for j in range(L_local):
         fp = jax.tree.map(lambda a, j=j: a[j], fstack)
         gp = jax.tree.map(lambda a, j=j: a[j], gstack)
@@ -117,25 +185,28 @@ def _stage_body(cfg: VGGTConfig, fstack, gstack, x, cos, sin):
         xg = x.reshape(1, S * N, C)
         xg = global_blk.apply({"params": gp}, xg, cos_g, sin_g)
         x = xg.reshape(S, N, C)
-        caps.append(jnp.concatenate([frame_out, x], axis=-1))
+        cap = jnp.concatenate([frame_out, x], axis=-1)
+        for i in range(k):
+            caps[i] = jnp.where(slots[i] == j, cap, caps[i])
     return x, jnp.stack(caps)
 
 
 def _pipeline_local(cfg: VGGTConfig, fstack, gstack, toks, cos, sin, *,
-                    pp_axis: str):
+                    pp_axis: str, slot_map):
     """shard_map body: GPipe schedule on one (pp, dp) device.
 
     toks: (M, S, N, C) this dp shard's microbatches (scenes); fstack/gstack
-    hold this STAGE's depth slice. Returns (M, L_local, S, N, 2C) captures.
+    hold this STAGE's depth slice; slot_map (pp, k) the static capture
+    layout (_capture_plan). Returns (M, k, S, N, 2C) captures.
     """
     s = jax.lax.axis_index(pp_axis)
     pp = jax.lax.axis_size(pp_axis)
     M, S, N, C = toks.shape
+    slots = jnp.asarray(slot_map, jnp.int32)[s]  # (k,) this stage's plan
     stage = functools.partial(_stage_body, cfg, fstack, gstack,
-                              cos=cos, sin=sin)
-    cap_sd = jax.eval_shape(stage, jax.ShapeDtypeStruct((S, N, C),
-                                                        toks.dtype))[1]
-    outs0 = jnp.zeros((M,) + cap_sd.shape, cap_sd.dtype)
+                              cos=cos, sin=sin, slots=slots)
+    k = slot_map.shape[1]
+    outs0 = jnp.zeros((M, k, S, N, 2 * C), toks.dtype)
     cur0 = jnp.where(s == 0, toks[0], jnp.zeros_like(toks[0]))
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
@@ -161,45 +232,57 @@ def _pipeline_local(cfg: VGGTConfig, fstack, gstack, toks, cos, sin, *,
     return outs
 
 
-def pp_forward_captures(cfg: VGGTConfig, params, images, mesh):
-    """Pipelined aggregator over a scene batch: (B, S, 3, H, W) ->
-    (B, agg_depth, S, N, 2C) captured tokens, B = M * dp scenes."""
+def pp_forward_captures(cfg: VGGTConfig, pp_params, images, mesh):
+    """Pipelined aggregator over a scene batch.
+
+    pp_params: the pipeline tree from `to_pp_params` (stacked block params
+    sharded P("pp") by the caller). Returns (caps, depths): caps
+    (B, len(depths), S, N, 2C) captured tokens ordered by `depths` (the
+    sorted head-consumed depth list), B = M * dp scenes."""
     assert cfg.global_kv_stride == 1, "pp path is exact-attention only"
     pp, dp = mesh.shape["pp"], mesh.shape["dp"]
     assert cfg.agg_depth % pp == 0, (cfg.agg_depth, pp)
     B = images.shape[0]
     assert B % dp == 0, f"scene batch {B} not divisible by dp={dp}"
 
-    agg = params["params"]["aggregator"]
-    fstack = _stack_blocks(agg, "frame_block", cfg.agg_depth)
-    gstack = _stack_blocks(agg, "global_block", cfg.agg_depth)
+    depths, slot_map, k = _capture_plan(cfg, pp)
+    L_local = cfg.agg_depth // pp
+    fstack = pp_params["stacked"]["frame"]
+    gstack = pp_params["stacked"]["global"]
+    agg = pp_params["rest"]["params"]["aggregator"]
 
     toks, cos, sin = jax.vmap(
         lambda im: _preamble(cfg, agg, im),
         out_axes=(0, None, None))(images)
 
-    body = functools.partial(_pipeline_local, cfg, pp_axis="pp")
+    body = functools.partial(_pipeline_local, cfg, pp_axis="pp",
+                             slot_map=slot_map)
     blk_spec = jax.tree.map(lambda _: P("pp"), fstack)
     fn = jax.shard_map(
         lambda f, g, t, c, s_: body(f, g, t, c, s_),
         mesh=mesh,
         in_specs=(blk_spec, blk_spec, P("dp"), P(), P()),
         out_specs=P("dp", "pp"), check_vma=False)
-    return fn(fstack, gstack, toks, cos, sin)
+    caps = fn(fstack, gstack, toks, cos, sin)  # (B, k*pp, S, N, 2C)
+    # Select the real capture columns (stage-major slot layout).
+    cols = [(d // L_local) * k + list(
+        np.flatnonzero(slot_map[d // L_local] == d % L_local))[0]
+        for d in depths]
+    return caps[:, jnp.asarray(cols, jnp.int32)], depths
 
 
-def pp_vggt_loss(cfg: VGGTConfig, params, batch, mesh):
+def pp_vggt_loss(cfg: VGGTConfig, pp_params, batch, mesh):
     """Mean VGGT loss (parallel/train.vggt_loss semantics) over a scene
-    batch via the pipelined trunk + dp-sharded heads."""
+    batch via the pipelined trunk + dp-sharded heads. `pp_params` is the
+    pipeline tree (to_pp_params)."""
     images = batch["images"]  # (B, S, 3, H, W)
     B, S, _, H, W = images.shape
-    caps = pp_forward_captures(cfg, params, images, mesh)
+    caps, depths = pp_forward_captures(cfg, pp_params, images, mesh)
     ns = cfg.tokens_per_frame_special
-    p = params["params"]
+    p = pp_params["rest"]["params"]
 
     def per_scene(cap_scene, pose_gt, depth_gt, points_gt):
-        captured = {d: cap_scene[d]
-                    for d in set(cfg.dpt_layers) | {cfg.agg_depth - 1}}
+        captured = {d: cap_scene[i] for i, d in enumerate(depths)}
         captured["patch_start"] = ns
         pose_enc = CameraHead(cfg).apply(
             {"params": p["camera_head"]}, captured[cfg.agg_depth - 1], None)
@@ -225,32 +308,55 @@ def pp_vggt_loss(cfg: VGGTConfig, params, batch, mesh):
 
 
 def make_pp_train_step(cfg: VGGTConfig, mesh, params, optimizer=None):
-    """Build (train_step, opt_state) for the pipeline-parallel step.
+    """Build (train_step, pp_params, opt_state) for the pipeline-parallel
+    step.
 
-    Params/optimizer state keep the standard (checkpoint-compatible) tree,
-    replicated; the scene batch shards over dp; the stacked block params
-    reshard to their pipeline stages inside the jit.
+    `params` (standard tree) is converted ONCE to the pipeline tree with
+    the stacked block params placed P("pp") and everything else
+    replicated; the optimizer state mirrors that placement (AdamW moments
+    of the block stacks live pp-sharded). The compiled step therefore
+    contains no replicated->pp reshard. Recover a checkpoint-compatible
+    tree with `from_pp_params(cfg, pp_params)`.
     """
     if optimizer is None:
         optimizer = optax.adamw(1e-4, weight_decay=0.05)
-    r = NamedSharding(mesh, P())
+    # Land the incoming tree on THIS mesh (replicated) before stacking:
+    # callers may hand over params still placed on a different mesh (e.g.
+    # the dp/tp train mesh in the driver dryrun), and stacking across mesh
+    # boundaries makes XLA fall back to involuntary full rematerialization
+    # on the subsequent pp reshard.
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    pp_params = to_pp_params(cfg, params)
+    p_shard = pp_param_shardings(cfg, pp_params, mesh)
+    pp_params = jax.device_put(pp_params, p_shard)
+    # Eager init: optax's moments are zeros_like(params), which inherit
+    # each param's placement - so the block stacks' AdamW state lives
+    # pp-sharded without any explicit spec.
+    opt_state = optimizer.init(pp_params)
+
     scene = NamedSharding(mesh, P("dp"))
     batch_shardings = {"images": scene, "pose_enc_gt": scene,
                        "depth_gt": scene, "points_gt": scene}
-    opt_state = optimizer.init(params)
-    r_tree = jax.tree.map(lambda _: r, params)
-    o_tree = jax.tree.map(lambda _: r, opt_state)
 
-    def step(params, opt_state, batch):
+    def step(pp_params, opt_state, batch):
         loss, grads = jax.value_and_grad(
-            lambda q: pp_vggt_loss(cfg, q, batch, mesh))(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+            lambda q: pp_vggt_loss(cfg, q, batch, mesh))(pp_params)
+        updates, opt_state = optimizer.update(grads, opt_state, pp_params)
+        pp_params = optax.apply_updates(pp_params, updates)
+        return pp_params, opt_state, loss
 
-    jitted = jax.jit(step, in_shardings=(r_tree, o_tree, batch_shardings),
-                     out_shardings=(r_tree, o_tree, r))
-    return jitted, opt_state
+    # Moments carry the params' NamedShardings; stray leaves (step counts,
+    # schedule state) come back single-device - replicate those over the
+    # mesh so every input shares one device assignment.
+    o_shard = jax.tree.map(
+        lambda x: x.sharding if isinstance(x.sharding, NamedSharding)
+        else NamedSharding(mesh, P()), opt_state)
+    opt_state = jax.device_put(opt_state, o_shard)
+    jitted = jax.jit(step,
+                     in_shardings=(p_shard, o_shard, batch_shardings),
+                     out_shardings=(p_shard, o_shard,
+                                    NamedSharding(mesh, P())))
+    return jitted, pp_params, opt_state
 
 
 def make_pp_dryrun_batch(cfg: VGGTConfig, n_scenes: int, n_frames: int,
