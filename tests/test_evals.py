@@ -188,3 +188,31 @@ class TestDense7Scenes:
         assert m["ate_rmse"] < 1e-6
         assert m["rmse_accuracy"] < 0.02, m
         assert m["rmse_completeness"] < 0.02, m
+
+
+class TestMaskQuality:
+    """Mask-proposer quality harness (evals/mask_eval.py): synthetic scenes
+    with exact GT segments quantify the weight-free Felzenszwalb stand-in
+    for SAM2 automatic mask generation (VERDICT round-2 item 6)."""
+
+    def test_scene_has_objects_and_exact_labels(self):
+        from vggt_slam_tpu.evals.mask_eval import make_shape_scene
+        img, labels = make_shape_scene(0, hw=(120, 160), n_objects=4)
+        assert img.shape == (120, 160, 3) and img.dtype == np.uint8
+        assert labels.max() >= 3  # occlusion can erase at most rarely
+        # perfect proposals score 1.0
+        from vggt_slam_tpu.evals.mask_eval import mask_quality
+        masks = [{"segmentation": labels == i}
+                 for i in range(1, labels.max() + 1)]
+        q = mask_quality(masks, labels)
+        assert q["mean_best_iou"] == 1.0 and q["recall_at_50"] == 1.0
+
+    def test_felzenszwalb_beats_grid(self):
+        from vggt_slam_tpu.evals.mask_eval import evaluate_proposers
+        rows = {r["proposer"]: r
+                for r in evaluate_proposers(n_scenes=4, hw=(120, 160))}
+        fz, grid = rows["felzenszwalb"], rows["grid8"]
+        # committed full-size run (evals/results/mask_quality.csv):
+        # fz 0.91 mean best IoU / 0.99 recall@0.5 vs grid 0.25 / 0.008
+        assert fz["mean_best_iou"] > 0.6 > grid["mean_best_iou"]
+        assert fz["recall_at_50"] > 0.8 > grid["recall_at_50"]
