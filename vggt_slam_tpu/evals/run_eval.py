@@ -39,34 +39,75 @@ def find_image_dir(seq_dir: str) -> str:
     return seq_dir
 
 
-def run_sequence(seq_dir: str, args, trial: int, log_path: str) -> dict:
-    image_dir = find_image_dir(seq_dir)
-    cmd = [sys.executable, "-m", "vggt_slam_tpu.main",
-           "--image_folder", image_dir,
-           "--log_results", "--skip_dense_log",
-           "--log_path", log_path,
-           "--submap_size", str(args.submap_size),
-           "--max_loops", str(args.max_loops),
-           "--min_disparity", str(args.min_disparity),
-           "--conf_threshold", str(args.conf_threshold)]
+_WARM = {"model_fn": None, "retrieval": None}
+
+
+def _slam_flags(image_dir: str, args, log_path: str) -> list[str]:
+    flags = ["--image_folder", image_dir,
+             "--log_results", "--skip_dense_log",
+             "--log_path", log_path,
+             "--submap_size", str(args.submap_size),
+             "--max_loops", str(args.max_loops),
+             "--min_disparity", str(args.min_disparity),
+             "--conf_threshold", str(args.conf_threshold)]
     if args.use_sim3:
-        cmd.append("--use_sim3")
+        flags.append("--use_sim3")
     if args.checkpoint:
-        cmd += ["--checkpoint", args.checkpoint]
+        flags += ["--checkpoint", args.checkpoint]
     if args.downsample_factor > 1:
-        cmd += ["--downsample_factor", str(args.downsample_factor)]
+        flags += ["--downsample_factor", str(args.downsample_factor)]
     if args.model_size != "1b":
-        cmd += ["--model_size", args.model_size]
+        flags += ["--model_size", args.model_size]
     # Always pass the stride: main.py's default is the merged operating
     # point (4), so omitting the flag would silently override a stride-1
     # (exact attention) request from this harness.
-    cmd += ["--global_kv_stride", str(args.global_kv_stride)]
+    flags += ["--global_kv_stride", str(args.global_kv_stride)]
+    if args.global_softmax:
+        flags += ["--global_softmax", args.global_softmax]
+    if args.keyframe_backend:
+        flags += ["--keyframe_backend", args.keyframe_backend]
+    if args.retrieval_backend:
+        flags += ["--retrieval_backend", args.retrieval_backend]
+    if args.platform:
+        flags += ["--platform", args.platform]
+    return flags
+
+
+def run_sequence(seq_dir: str, args, trial: int, log_path: str) -> dict:
+    image_dir = find_image_dir(seq_dir)
+    flags = _slam_flags(image_dir, args, log_path)
     t0 = time.time()
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if args.in_process:
+        # Warm-process mode: the model (params + compiled programs +
+        # retrieval) is built once and reused by every trial/sequence, so
+        # per-trial wall time is the SLAM loop itself, not the ~30-200 s
+        # init + compile a subprocess pays each run. Sweep knobs that
+        # change the compiled program (stride, submap size, model size)
+        # are fixed per sweep, so one cache slot suffices.
+        from vggt_slam_tpu import main as slam_main
+        run_args = slam_main.parser.parse_args(flags)
+        if _WARM["model_fn"] is None:
+            _WARM["model_fn"] = slam_main.build_model_fn(run_args)
+            from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
+            descriptor_fn = None
+            if run_args.retrieval_backend == "tiny":
+                from vggt_slam_tpu.models.retrieval import \
+                    tiny_image_descriptor_fn
+                descriptor_fn = tiny_image_descriptor_fn()
+            _WARM["retrieval"] = ImageRetrieval(
+                descriptor_fn=descriptor_fn,
+                batch_bucket=(run_args.submap_size
+                              + run_args.overlapping_window_size),
+                checkpoint=run_args.retrieval_checkpoint)
+        slam_main.run_slam(run_args, model_fn=_WARM["model_fn"],
+                           retrieval=_WARM["retrieval"])
+    else:
+        cmd = [sys.executable, "-m", "vggt_slam_tpu.main"] + flags
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            print(proc.stdout[-2000:], proc.stderr[-2000:])
+            raise RuntimeError(f"SLAM run failed on {seq_dir}")
     wall = time.time() - t0
-    if proc.returncode != 0:
-        print(proc.stdout[-2000:], proc.stderr[-2000:])
-        raise RuntimeError(f"SLAM run failed on {seq_dir}")
     row = {"sequence": os.path.basename(seq_dir), "trial": trial,
            "wall_s": round(wall, 1)}
 
@@ -97,7 +138,21 @@ def main():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--model_size", default="1b", choices=["1b", "small", "tiny"])
     p.add_argument("--global_kv_stride", type=int, default=1)
+    p.add_argument("--global_softmax", default=None,
+                   choices=[None, "online", "static"])
+    p.add_argument("--keyframe_backend", default=None,
+                   choices=[None, "auto", "cv2", "jax"])
+    p.add_argument("--retrieval_backend", default=None,
+                   choices=[None, "salad", "tiny"])
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force the JAX platform (in-process trials apply "
+                        "it before backend init; subprocess trials forward "
+                        "the flag)")
     p.add_argument("--max_assoc_diff", type=float, default=0.02)
+    p.add_argument("--in_process", action="store_true",
+                   help="run trials in this process, reusing one model "
+                        "init + compile cache across the whole sweep "
+                        "(subprocess-per-trial otherwise)")
     p.add_argument("--out", default="eval_results.csv")
     args = p.parse_args()
 

@@ -32,6 +32,16 @@ parser.add_argument("--overlapping_window_size", type=int, default=1,
 parser.add_argument("--downsample_factor", type=int, default=1)
 parser.add_argument("--max_loops", type=int, default=1)
 parser.add_argument("--min_disparity", type=float, default=50)
+parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform. The TPU plugin ignores "
+                         "JAX_PLATFORMS=cpu, so subprocess drivers (smoke "
+                         "runs, CI) that must not touch the chip pass "
+                         "--platform cpu instead")
+parser.add_argument("--keyframe_backend", default="auto",
+                    choices=["auto", "cv2", "jax"],
+                    help="keyframe disparity gate: host OpenCV LK or the "
+                         "jitted on-device tracker (slam/keyframe_jax). "
+                         "auto = jax on TPU, cv2 elsewhere")
 parser.add_argument("--use_point_map", action="store_true")
 parser.add_argument("--conf_threshold", type=float, default=25.0)
 parser.add_argument("--vis_stride", type=int, default=1)
@@ -52,6 +62,13 @@ parser.add_argument("--retrieval_checkpoint", type=str, default=None,
                     help="path to converted SALAD retrieval weights; loop "
                          "closure is DISABLED when absent (random "
                          "descriptors would insert bogus loop factors)")
+parser.add_argument("--retrieval_backend", default="salad",
+                    choices=["salad", "tiny"],
+                    help="place-recognition descriptors: the SALAD network "
+                         "(needs --retrieval_checkpoint) or the weight-free "
+                         "tiny-image descriptor (models/retrieval."
+                         "tiny_image_descriptor_fn) - enables loop closure "
+                         "with no external weights")
 parser.add_argument("--model_size", type=str, default="1b",
                     choices=["1b", "small", "tiny"], help="model configuration")
 parser.add_argument("--global_kv_stride", type=int, default=4,
@@ -104,6 +121,8 @@ parser.add_argument("--timing", action="store_true",
 def build_model_fn(args):
     """Load / init VGGT and return the prediction callable + metadata."""
     import jax
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from vggt_slam_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
@@ -171,8 +190,19 @@ def build_model_fn(args):
                                   with_unprojection=point_head is False)
 
 
-def main():
-    args = parser.parse_args()
+def run_slam(args, *, model_fn=None, retrieval=None):
+    """Run the full SLAM loop for one sequence described by `args`.
+
+    `model_fn` / `retrieval` may be passed in to reuse an already-built
+    (and already-compiled) model across runs - the warm-process eval mode
+    (evals/run_eval.py --in_process) relies on this: per-trial wall time
+    then excludes the ~30-200 s model init + compile that dominates
+    subprocess-per-trial sweeps. Returns a dict with the solver and
+    end-to-end timing.
+    """
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     import cv2
 
     from vggt_slam_tpu.data.images import (downsample_images,
@@ -187,18 +217,26 @@ def main():
         except ImportError:
             print("viser not installed; continuing headless")
 
-    from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
-    retrieval = ImageRetrieval(
-        batch_bucket=args.submap_size + args.overlapping_window_size,
-        checkpoint=args.retrieval_checkpoint)
+    if retrieval is None:
+        from vggt_slam_tpu.slam.loop_closure import ImageRetrieval
+        descriptor_fn = None
+        if getattr(args, "retrieval_backend", "salad") == "tiny":
+            from vggt_slam_tpu.models.retrieval import tiny_image_descriptor_fn
+            descriptor_fn = tiny_image_descriptor_fn()
+        retrieval = ImageRetrieval(
+            descriptor_fn=descriptor_fn,
+            batch_bucket=args.submap_size + args.overlapping_window_size,
+            checkpoint=args.retrieval_checkpoint)
     solver = Solver(init_conf_threshold=args.conf_threshold,
                     use_point_map=args.use_point_map,
                     use_sim3=args.use_sim3,
                     viewer=viewer,
                     retrieval=retrieval,
                     vis_stride=args.vis_stride,
-                    vis_point_size=args.vis_point_size)
-    model_fn = build_model_fn(args)
+                    vis_point_size=args.vis_point_size,
+                    keyframe_backend=args.keyframe_backend)
+    if model_fn is None:
+        model_fn = build_model_fn(args)
 
     image_names = list_image_folder(args.image_folder)
     image_names = downsample_images(image_names, args.downsample_factor)
@@ -357,6 +395,13 @@ def main():
             input()
         except (KeyboardInterrupt, EOFError):
             pass
+
+    return {"solver": solver, "n_frames": n_frames, "wall_s": dt,
+            "fps": n_frames / dt, "timer": timer}
+
+
+def main():
+    run_slam(parser.parse_args())
 
 
 if __name__ == "__main__":

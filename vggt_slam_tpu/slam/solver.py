@@ -46,13 +46,20 @@ class Solver:
                  retrieval: ImageRetrieval | None = None,
                  vis_stride: int = 1,
                  vis_point_size: float = 0.001,
-                 seed: int = 0):
+                 seed: int = 0,
+                 keyframe_backend: str = "auto"):
         self.init_conf_threshold = init_conf_threshold
         self.use_point_map = use_point_map
         self.use_sim3 = use_sim3
         self.viewer = viewer
 
-        self.flow_tracker = FrameTracker()
+        if keyframe_backend == "auto":
+            # On TPU the jitted Shi-Tomasi/LK gate (keyframe_jax) beats the
+            # host cv2 path on this 1-core host; everywhere else (CPU
+            # meshes, tests) cv2 wins and is reference-exact.
+            keyframe_backend = ("jax" if jax.default_backend() == "tpu"
+                                else "cv2")
+        self.flow_tracker = FrameTracker(backend=keyframe_backend)
         self.map = GraphMap()
         self.graph = PoseGraph("se3" if use_sim3 else "sl4")
         self.image_retrieval = retrieval if retrieval is not None else ImageRetrieval()
