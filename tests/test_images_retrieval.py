@@ -179,3 +179,39 @@ class TestLoopQueue:
         q = LoopMatchQueue(max_size=0)
         q.add(LoopMatch(0.1, 1, 0, 0, 0))
         assert q.get_matches() == []
+
+
+class TestTinyImageDescriptor:
+    """Weight-free tiny-image place descriptor (models/retrieval.py):
+    trusted (enables loop closure with zero external weights), unit-norm,
+    and discriminative enough that a revisited viewpoint scores under the
+    0.80 accept threshold while a different texture scores far above."""
+
+    def _frames(self):
+        import cv2
+        rng = np.random.default_rng(3)
+        # Smooth (scene-like) textures: low-frequency random fields, not
+        # iid pixel noise (which decorrelates under any viewpoint shift).
+        def tex(r):
+            return cv2.resize(r.uniform(0.2, 0.8, (8, 12)), (96, 64),
+                              interpolation=cv2.INTER_LINEAR)
+        base = np.stack([tex(rng)] * 3)  # (3, H, W)
+        shifted = np.roll(base, 3, axis=2)  # ~3 px viewpoint shift
+        other = np.stack([tex(rng)] * 3)
+        return np.stack([base, shifted, other]).astype(np.float32)
+
+    def test_trusted_and_normalized(self):
+        from vggt_slam_tpu.models.retrieval import tiny_image_descriptor_fn
+        fn = tiny_image_descriptor_fn()
+        assert fn.trusted is True
+        d = fn(self._frames())
+        assert d.shape == (3, 16 * 16)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0,
+                                   atol=1e-5)
+
+    def test_revisit_under_threshold_random_far(self):
+        from vggt_slam_tpu.models.retrieval import tiny_image_descriptor_fn
+        d = tiny_image_descriptor_fn()(self._frames())
+        revisit = np.linalg.norm(d[0] - d[1])
+        distinct = np.linalg.norm(d[0] - d[2])
+        assert revisit < 0.80 < distinct

@@ -1,0 +1,170 @@
+"""Merged-vs-exact global-attention ATE A/B on a trained model.
+
+The single-chip headline operating point (global_kv_stride=4 similarity
+K/V merging + static-max flash softmax) is a perf choice whose trajectory
+cost must be measured on THIS implementation, not cited from FastVGGT's
+paper (VERDICT round-2 item 1). This harness makes that measurement
+in-environment:
+
+  1. generate synthetic heightfield TUM sequences with exact groundtruth
+     (tools/synth3d.py; seeds disjoint from the train/val stream of
+     tools/train_tiny.py),
+  2. run the full SLAM eval sweep (evals/run_eval.py --in_process) once
+     per attention configuration with the trained small-VGGT checkpoint,
+  3. merge the per-sequence ATE rows and print per-config means + the
+     merged-vs-exact delta.
+
+Each configuration runs in a fresh subprocess: the stride/softmax knobs
+change the compiled program, and the warm-process cache inside run_eval
+is keyed on one config per process. The JAX compilation cache
+(utils/profiling.enable_compilation_cache, wired into the CLI) persists
+compiles across those subprocesses.
+
+CLI:
+  python -m vggt_slam_tpu.evals.ab_attention \
+      --checkpoint warmcache/small_synth/checkpoint.npz [--n_sequences 3]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import subprocess
+import sys
+import tempfile
+
+# (name, global_kv_stride, global_softmax): exact/online is the reference
+# semantics; merged/static is the single-chip headline operating point;
+# the two mixed configs isolate each knob's contribution.
+CONFIGS = [
+    ("exact_online", 1, "online"),
+    ("exact_static", 1, "static"),
+    ("merged_online", 4, "online"),
+    ("merged_static", 4, "static"),
+]
+
+# Sequence seeds: the trainer's stream uses seeds 1..steps (seed 0 run)
+# and validation 1_000_000+; these are disjoint from both, so the A/B
+# scores held-out scenes.
+SEQ_SEED_BASE = 5_000_000
+
+
+def generate_sequences(root: str, n: int, n_frames: int,
+                       image_hw: tuple[int, int]) -> list[str]:
+    from vggt_slam_tpu.tools.synth3d import write_tum_sequence
+    dirs = []
+    for i in range(n):
+        d = os.path.join(root, f"seq{i:03d}")
+        if not os.path.exists(os.path.join(d, "groundtruth.txt")):
+            write_tum_sequence(d, n_frames=n_frames,
+                               seed=SEQ_SEED_BASE + i, image_hw=image_hw,
+                               kind="loop")
+        dirs.append(d)
+    return dirs
+
+
+def run_config(name: str, stride: int, softmax: str, seq_root: str,
+               seqs: list[str], args) -> list[dict]:
+    with tempfile.TemporaryDirectory() as td:
+        out_csv = os.path.join(td, f"{name}.csv")
+        cmd = [sys.executable, "-m", "vggt_slam_tpu.evals.run_eval",
+               "--dataset_root", seq_root,
+               "--sequences", *[os.path.basename(s) for s in seqs],
+               "--trials", str(args.trials),
+               "--submap_size", str(args.submap_size),
+               "--min_disparity", str(args.min_disparity),
+               "--conf_threshold", str(args.conf_threshold),
+               "--model_size", args.model_size,
+               "--global_kv_stride", str(stride),
+               "--global_softmax", softmax,
+               "--in_process",
+               "--out", out_csv]
+        if args.checkpoint:
+            cmd += ["--checkpoint", args.checkpoint]
+        print(f"[{name}] {' '.join(cmd)}", flush=True)
+        proc = subprocess.run(cmd, text=True, capture_output=True)
+        sys.stdout.write(proc.stdout[-4000:])
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"config {name} failed")
+        with open(out_csv) as f:
+            rows = list(csv.DictReader(f))
+    for r in rows:
+        r["config"] = name
+        r["global_kv_stride"] = stride
+        r["global_softmax"] = softmax
+    return rows
+
+
+def summarize(rows: list[dict]) -> list[dict]:
+    import numpy as np
+    out = []
+    for name, stride, softmax in CONFIGS:
+        ates = [float(r["ate_rmse"]) for r in rows
+                if r["config"] == name and r.get("ate_rmse") not in (None, "")]
+        if not ates:
+            continue
+        out.append({"config": name, "global_kv_stride": stride,
+                    "global_softmax": softmax, "n": len(ates),
+                    "ate_rmse_mean": round(float(np.mean(ates)), 6),
+                    "ate_rmse_max": round(float(np.max(ates)), 6)})
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser(description="merged-vs-exact attention A/B")
+    p.add_argument("--checkpoint",
+                   default="warmcache/small_synth/checkpoint.npz")
+    p.add_argument("--model_size", default="small")
+    p.add_argument("--seq_root", default="/tmp/ab_synth3d")
+    p.add_argument("--n_sequences", type=int, default=3)
+    p.add_argument("--n_frames", type=int, default=60)
+    p.add_argument("--image_hw", type=int, nargs=2, default=(392, 518))
+    p.add_argument("--trials", type=int, default=1)
+    p.add_argument("--submap_size", type=int, default=16)
+    p.add_argument("--min_disparity", type=float, default=20)
+    p.add_argument("--conf_threshold", type=float, default=25)
+    p.add_argument("--configs", nargs="+", default=None,
+                   help="subset of config names to run")
+    p.add_argument("--out", default="evals/results/ab_attention.csv")
+    args = p.parse_args()
+
+    os.makedirs(args.seq_root, exist_ok=True)
+    seqs = generate_sequences(args.seq_root, args.n_sequences,
+                              args.n_frames, tuple(args.image_hw))
+    print(f"{len(seqs)} sequences under {args.seq_root}", flush=True)
+
+    rows = []
+    for name, stride, softmax in CONFIGS:
+        if args.configs and name not in args.configs:
+            continue
+        rows += run_config(name, stride, softmax, args.seq_root, seqs, args)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    keys = sorted({k for r in rows for k in r})
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {len(rows)} rows to {args.out}")
+
+    summary = summarize(rows)
+    for s in summary:
+        print(s)
+    base = next((s for s in summary if s["config"] == "exact_online"), None)
+    head = next((s for s in summary if s["config"] == "merged_static"), None)
+    if base and head:
+        print(f"merged_static - exact_online ATE delta: "
+              f"{head['ate_rmse_mean'] - base['ate_rmse_mean']:+.6f} m "
+              f"({head['ate_rmse_mean'] / max(base['ate_rmse_mean'], 1e-12):.3f}x)")
+    sum_path = args.out.replace(".csv", "_summary.csv")
+    with open(sum_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(summary[0]) if summary else
+                           ["config"])
+        w.writeheader()
+        w.writerows(summary)
+    print(f"wrote {sum_path}")
+
+
+if __name__ == "__main__":
+    main()

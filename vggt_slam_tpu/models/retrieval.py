@@ -301,3 +301,31 @@ def default_descriptor_fn(input_size: int = 224, checkpoint: str | None = None):
 
     run.trusted = checkpoint is not None
     return run
+
+
+def tiny_image_descriptor_fn(grid: int = 16):
+    """Weight-free "tiny image" place descriptor (host, O(HW) per frame).
+
+    Gray thumbnail at `grid` x `grid`, mean-centered and L2-normalized, so
+    descriptor L2 distance is a monotone function of thumbnail NCC. This is
+    NOT a SALAD replacement for real scenes (viewpoint/illumination
+    sensitive); it exists so loop closure runs END TO END with zero external
+    weights - the CLI-level smoke acceptance (evals/smoke_loop.py) and the
+    synthetic eval sweeps exercise retrieval -> LoopMatchQueue -> RANSAC ->
+    graph factors through it. Select with --retrieval_backend tiny.
+    """
+    import cv2
+
+    def run(frames):
+        frames = np.asarray(frames, np.float32)  # (S, 3, H, W) in [0, 1]
+        out = np.empty((frames.shape[0], grid * grid), np.float32)
+        for i, f in enumerate(frames):
+            g = f.mean(axis=0)
+            t = cv2.resize(g, (grid, grid),
+                           interpolation=cv2.INTER_AREA).ravel()
+            t -= t.mean()
+            out[i] = t / (np.linalg.norm(t) + 1e-8)
+        return out
+
+    run.trusted = True
+    return run

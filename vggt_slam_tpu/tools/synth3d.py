@@ -180,21 +180,31 @@ def camera_path(n: int, seed: int = 0, kind: str = "loop",
     quaternion regression is non-trivial while LK keyframing stays stable.
     """
     rng = np.random.default_rng(seed + 7)
-    t = np.linspace(0.0, 1.0, n)
     if kind == "loop":
+        # True revisit: every path term is periodic in t with period 1
+        # (integer wobble frequencies) and the endpoint is excluded, so the
+        # last frame sits 1/n before closure - a near-identical (but not
+        # bit-identical) viewpoint to frame 0. This is what makes the
+        # sequence exercise loop-closure retrieval the way the reference's
+        # office_loop sample does (reference README.md:132-143).
+        t = np.linspace(0.0, 1.0, n, endpoint=False)
         ang = 2 * np.pi * t
         xs = span * 0.5 * (1 - np.cos(ang)) - span * 0.25
         ys = span * 0.45 * np.sin(ang)
+        z_freq = float(rng.integers(1, 3))
+        rot_freqs = rng.integers(1, 3, 3).astype(np.float64)
     else:
+        t = np.linspace(0.0, 1.0, n)
         xs = span * (t - 0.5)
         ys = span * 0.3 * np.sin(2 * np.pi * t)
-    zs = z_amp * np.sin(2 * np.pi * t * rng.uniform(0.5, 1.5) +
-                        rng.uniform(0, np.pi))
+        z_freq = rng.uniform(0.5, 1.5)
+        rot_freqs = rng.uniform(0.5, 2.0, 3)
+    zs = z_amp * np.sin(2 * np.pi * t * z_freq + rng.uniform(0, np.pi))
     centers = np.stack([xs, ys, zs], axis=1)
 
     rmax = np.radians(rot_deg)
     phases = rng.uniform(0, 2 * np.pi, 3)
-    freqs = rng.uniform(0.5, 2.0, 3)
+    freqs = rot_freqs
     rots = []
     for ti in t:
         ang3 = rmax * np.sin(2 * np.pi * freqs * ti + phases)
