@@ -149,6 +149,12 @@ def make_zero1_train_step(cfg: VGGTConfig, mesh, params, optimizer=None):
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(
             lambda q: vggt_loss(cfg, q, batch))(params)
+        # Pin the grad tree replicated BEFORE the flatten: the flat
+        # vector's P("dp") shard_map in_spec otherwise propagates a
+        # dp-sharded layout backwards through the concatenate into the
+        # backward graph, where XLA resolves the conflict with an
+        # involuntary full rematerialization of small activations.
+        grads = jax.lax.with_sharding_constraint(grads, p_shard_tree)
         pvec, opt_state = upd(flatten(params), flatten(grads), opt_state)
         return unflatten(pvec), opt_state, loss
 
