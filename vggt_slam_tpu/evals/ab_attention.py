@@ -77,6 +77,7 @@ def run_config(name: str, stride: int, softmax: str, seq_root: str,
                "--model_size", args.model_size,
                "--global_kv_stride", str(stride),
                "--global_softmax", softmax,
+               "--retrieval_backend", "tiny",
                "--in_process",
                "--out", out_csv]
         if args.checkpoint:
@@ -121,7 +122,9 @@ def main():
     p.add_argument("--n_frames", type=int, default=60)
     p.add_argument("--image_hw", type=int, nargs=2, default=(392, 518))
     p.add_argument("--trials", type=int, default=1)
-    p.add_argument("--submap_size", type=int, default=16)
+    p.add_argument("--submap_size", type=int, default=8,
+                   help="submap bucket 8+1+max_loops ~ the trained scene "
+                        "length (train_tiny --frames 10)")
     p.add_argument("--min_disparity", type=float, default=20)
     p.add_argument("--conf_threshold", type=float, default=25)
     p.add_argument("--configs", nargs="+", default=None,

@@ -172,7 +172,16 @@ def main():
 
     log_path = os.path.join(args.out, "train_log.jsonl")
     ckpt_path = os.path.join(args.out, "checkpoint.npz")
+    meta_path = os.path.join(args.out, "checkpoint_meta.json")
+    # Carry best_val across resumes (the auto-resume wrapper restarts this
+    # process after transient tunnel/OOM kills): without it, the first
+    # validation of a fresh attempt - run at the re-warmed LR, typically
+    # worse - would overwrite a better checkpoint.
     best_val = float("inf")
+    if args.resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            best_val = float(json.load(f).get("best_val", float("inf")))
+        print(f"resumed best_val={best_val:.4f}", flush=True)
     t_start = time.time()
     pending = None  # (step, handles) - read back one step late (async)
 
@@ -204,6 +213,8 @@ def main():
             if vloss < best_val:
                 best_val = vloss
                 save_checkpoint(params, ckpt_path)
+                with open(meta_path, "w") as f:
+                    json.dump({"best_val": best_val, "step": step}, f)
                 print(f"saved {ckpt_path} (val_loss {vloss:.4f})", flush=True)
 
         if step % args.ckpt_every == 0:
