@@ -225,6 +225,36 @@ def main():
         log(f"exact-int8 compile+first step: {time.time() - t0:.1f}s")
         exact_int8_fps = measure(step_exact_i8, "exact stride=1 qk_int8")
 
+    # Keyframe disparity gate - runs once per INPUT frame in the CLI loop
+    # (more often than the per-submap forward). Compare the host cv2 LK
+    # path against the jitted on-device tracker (slam/keyframe_jax), which
+    # --keyframe_backend auto selects on TPU.
+    import cv2
+    from vggt_slam_tpu.slam.keyframe import FrameTracker
+    coarse = rng.uniform(40, 220, (24, 32)).astype(np.float32)
+    tex = cv2.resize(coarse, (W, H), interpolation=cv2.INTER_CUBIC)
+    img0 = np.clip(np.stack([tex] * 3, -1), 0, 255).astype(np.uint8)
+    img1 = np.roll(img0, 3, axis=1)  # ~3 px flow: tracks survive
+
+    def gate_ms(backend):
+        try:
+            ft = FrameTracker(backend=backend)
+            ft.initialize_keyframe(img0)
+            ft.compute_disparity(img1, 1e9)  # warm-up / compile
+            t0 = time.time()
+            n = 20
+            for _ in range(n):
+                ft.compute_disparity(img1, 1e9)
+            ms = (time.time() - t0) / n * 1e3
+            log(f"keyframe gate [{backend}]: {ms:.2f} ms/frame")
+            return round(ms, 2)
+        except Exception as e:  # pragma: no cover - report, don't fail bench
+            log(f"keyframe gate [{backend}] failed: {e}")
+            return None
+
+    kf_host_ms = gate_ms("cv2")
+    kf_device_ms = gate_ms("jax")
+
     print(json.dumps({
         "metric": "tum_style_submap32_e2e_fps_single_chip",
         "value": round(fps, 2),
@@ -235,6 +265,8 @@ def main():
         "exact_int8_fps": round(exact_int8_fps, 2),
         "operating_point": f"global_kv_stride={stride},merge={merge},"
                            f"qk_int8={int(qk_int8)},softmax={softmax}",
+        "keyframe_gate_ms_host_cv2": kf_host_ms,
+        "keyframe_gate_ms_device_jax": kf_device_ms,
     }))
 
 
