@@ -123,7 +123,15 @@ class Aggregator(nn.Module):
 
         def _compute_assignment(x):
             """(Shared) src->dst map from tokens entering global block 0:
-            cosine similarity within each non-reference frame."""
+            cosine similarity within each non-reference frame.
+
+            The assignment is materialized as one per-frame merge matrix
+            M (S-1, Pd, P) with M[f, d, :] = mean-pool weights of group d
+            (1/cnt at the kept token and at each src assigned to it), so
+            every block's kv_map is a single batched MXU matmul over the
+            frame's patch tokens — no per-block gathers (the earlier
+            gather+einsum+add formulation spent ~2x the matmul time in
+            HBM-unfriendly gathers, 24x per forward)."""
             xf = x[1:].astype(jnp.float32)                     # (S-1, N, C)
             dst = xf[:, dst_idx]
             src = xf[:, src_idx]
@@ -131,10 +139,15 @@ class Aggregator(nn.Module):
             sn = src / (jnp.linalg.norm(src, axis=-1, keepdims=True) + 1e-6)
             sim = jnp.einsum("fsc,fdc->fsd", sn, dn)
             a = jnp.argmax(sim, axis=-1)                       # (S-1, Ps)
-            A = jax.nn.one_hot(a, Pd, dtype=jnp.float32)       # (S-1, Ps, Pd)
-            cnt = jnp.sum(A, axis=1) + 1.0                     # (S-1, Pd)
-            merge_state["A"] = A.astype(cfg.dtype)
-            merge_state["inv_cnt"] = (1.0 / cnt).astype(cfg.dtype)
+            # A_t[f, d, s] = 1 iff src s of frame f merges into dst d.
+            A_t = (a[:, None, :] ==
+                   jnp.arange(Pd, dtype=a.dtype)[None, :, None]
+                   ).astype(jnp.float32)                       # (S-1, Pd, Ps)
+            cnt = jnp.sum(A_t, axis=2) + 1.0                   # (S-1, Pd)
+            M = jnp.zeros((S - 1, Pd, P), jnp.float32)
+            M = M.at[:, :, dst_patch].set(jnp.eye(Pd))
+            M = M.at[:, :, src_patch].set(A_t)
+            merge_state["M"] = (M * (1.0 / cnt)[..., None]).astype(cfg.dtype)
             # Proportional-attention bias, frame-major kv layout: zeros for
             # frame 0 and specials, log(group size) for merged patch slots.
             zrow = jnp.zeros((S - 1, ns), jnp.float32)
@@ -147,11 +160,9 @@ class Aggregator(nn.Module):
             x_ = xg.reshape(S, N, -1)
             if not merge_sim:
                 return xg[:, kv_index]
-            dst = x_[1:, dst_idx]                              # (S-1, Pd, C)
-            src = x_[1:, src_idx]                              # (S-1, Ps, C)
-            agg = jnp.einsum("fsd,fsc->fdc",
-                             merge_state["A"].astype(x_.dtype), src)
-            merged = (dst + agg) * merge_state["inv_cnt"][..., None]
+            patches = x_[1:, ns:]                              # (S-1, P, C)
+            merged = jnp.einsum("fdp,fpc->fdc",
+                                merge_state["M"].astype(x_.dtype), patches)
             rest = jnp.concatenate([x_[1:, :ns], merged], axis=1)
             kv = jnp.concatenate(
                 [x_[0], rest.reshape((S - 1) * (ns + Pd), x_.shape[-1])])
