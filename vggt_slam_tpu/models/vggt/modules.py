@@ -39,6 +39,30 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
 
 
+def _layer_norm_f32(x, scale, bias, eps):
+    """LayerNorm over the last dim with flax semantics (f32 stats, fast
+    variance clipped at 0) from explicit (D,) f32 scale/bias params."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+class _LNParams(nn.Module):
+    """Parameter container matching nn.LayerNorm's param tree ("scale",
+    "bias") so converter name mappings are identical whether the qk-norm
+    runs as a standalone pass or fused into the flash kernel's tile prep."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones,
+                           (self.dim,), jnp.float32),
+                self.param("bias", nn.initializers.zeros,
+                           (self.dim,), jnp.float32))
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
@@ -154,14 +178,27 @@ class Attention(nn.Module):
         k = jnp.swapaxes(k.reshape(B, Nk, H, Dh), 1, 2)
         v = jnp.swapaxes(v.reshape(B, Nk, H, Dh), 1, 2)
 
+        # Per-head LayerNorm over head_dim, BEFORE rotary embedding (matches
+        # the released VGGT attention: qkv -> q_norm/k_norm -> rope). On the
+        # flash path with in-kernel rope the LN fuses into the kernel's
+        # q/k tile prep (ops/attention.py qk_ln) - the standalone pass costs
+        # two full HBM round trips of q per block; elsewhere it runs here in
+        # f32 with identical numerics.
+        fuse_ln = False
+        qk_ln = None
         if self.qk_norm:
-            # Per-head LayerNorm over head_dim, BEFORE rotary embedding
-            # (matches the released VGGT attention: qkv -> q_norm/k_norm ->
-            # rope). f32 for stability, back to compute dtype after.
-            q = nn.LayerNorm(dtype=jnp.float32, epsilon=self.ln_eps,
-                             name="q_norm")(q).astype(self.dtype)
-            k = nn.LayerNorm(dtype=jnp.float32, epsilon=self.ln_eps,
-                             name="k_norm")(k).astype(self.dtype)
+            gq_ln, bq_ln = _LNParams(Dh, name="q_norm")()
+            gk_ln, bk_ln = _LNParams(Dh, name="k_norm")()
+            ring_ = self.seq_mesh is not None and kv_map is None
+            fuse_ln = (self.attn_impl == "flash" and not ring_
+                       and rope_cos is not None and not self.qk_int8)
+            if fuse_ln:
+                qk_ln = (gq_ln, bq_ln, gk_ln, bk_ln)
+            else:
+                q = _layer_norm_f32(q, gq_ln, bq_ln,
+                                    self.ln_eps).astype(self.dtype)
+                k = _layer_norm_f32(k, gk_ln, bk_ln,
+                                    self.ln_eps).astype(self.dtype)
 
         if kv_map is None:
             kv_rope_cos, kv_rope_sin = rope_cos, rope_sin
@@ -198,7 +235,8 @@ class Attention(nn.Module):
                                      interpret=interpret,
                                      rope_q=rope_q, rope_k=rope_k,
                                      kv_bias=kv_bias, qk_int8=self.qk_int8,
-                                     softmax=self.softmax_mode)
+                                     softmax=self.softmax_mode,
+                                     qk_ln=qk_ln, qk_ln_eps=self.ln_eps)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 

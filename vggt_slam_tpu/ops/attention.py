@@ -102,9 +102,22 @@ def _quant_i8(x, inv):
     return jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
 
 
+def _ln_in_kernel(x, g, b, eps):
+    """Per-row LayerNorm over the head dim, fused into the kernel's q/k
+    tile prep (qk-norm without the two full HBM round trips per block that
+    a standalone LN pass costs). f32 stats with flax's fast-variance
+    semantics (Var = E[x^2] - E[x]^2 clipped at 0), output cast back to
+    the tile dtype so QK^T stays on the bf16 MXU path."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
+
+
 def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
                   has_bias, qk_int8=False, static_max=False,
-                  return_stats=False):
+                  return_stats=False, qk_ln_eps=None):
     """Online-softmax step for one (q-block, k-block) tile.
 
     VPU-lean design (the kernel is ~half VPU-bound at D=64, where both
@@ -139,10 +152,14 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
     b_ref = None
     sc_ref = None
     sm_ref = None
+    ln_ref = None
     if static_max:
         sm_ref, off = refs[0], 1
     if qk_int8:
         sc_ref = refs[off]
+        off += 1
+    if qk_ln_eps is not None:
+        ln_ref = refs[off]
         off += 1
     if has_bias:
         b_ref = refs[off]
@@ -174,15 +191,21 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
         # block, not once per grid step.
         @pl.when(j == 0)
         def _prep_q():
-            qf = (_rope_in_kernel(_sq(q_ref), cq_ref[...], sq_ref[...])
-                  if has_rope else _sq(q_ref)).astype(jnp.float32)
+            qt = _sq(q_ref)
+            if qk_ln_eps is not None:
+                qt = _ln_in_kernel(qt, ln_ref[0:1], ln_ref[1:2], qk_ln_eps)
+            qf = (_rope_in_kernel(qt, cq_ref[...], sq_ref[...])
+                  if has_rope else qt).astype(jnp.float32)
             qr_ref[:] = _quant_i8(qf, sc_ref[0, b]) if qk_int8 \
                 else qf.astype(qr_ref.dtype)
 
         @pl.when(i == 0)
         def _prep_k():
-            kf = (_rope_in_kernel(_sq(k_ref), ck_ref[...], sk_ref[...])
-                  if has_rope else _sq(k_ref)).astype(jnp.float32)
+            kt = _sq(k_ref)
+            if qk_ln_eps is not None:
+                kt = _ln_in_kernel(kt, ln_ref[2:3], ln_ref[3:4], qk_ln_eps)
+            kf = (_rope_in_kernel(kt, ck_ref[...], sk_ref[...])
+                  if has_rope else kt).astype(jnp.float32)
             ks_ref[pl.ds(j * block_k, block_k)] = \
                 _quant_i8(kf, sc_ref[1, b]) if qk_int8 \
                 else kf.astype(ks_ref.dtype)
@@ -267,13 +290,17 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
 
 
 def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias,
-                         return_stats=False):
+                         return_stats=False, qk_ln_eps=None):
     """One-shot softmax for Nk <= one k-block (frame attention, camera
     trunk): no online-softmax accumulators, no m/l scratch traffic."""
     off = 0
     b_ref = None
+    ln_ref = None
+    if qk_ln_eps is not None:
+        ln_ref, off = refs[0], 1
     if has_bias:
-        b_ref, off = refs[0], 1
+        b_ref = refs[off]
+        off += 1
     if has_rope:
         cq_ref, sq_ref, ck_ref, sk_ref = refs[off:off + 4]
         off += 4
@@ -285,6 +312,9 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias,
     q = _sq(q_ref)                               # (block_q, D)
     k = _sq(k_ref)                               # (Nk_pad, D)
     v = _sq(v_ref)
+    if qk_ln_eps is not None:
+        q = _ln_in_kernel(q, ln_ref[0:1], ln_ref[1:2], qk_ln_eps)
+        k = _ln_in_kernel(k, ln_ref[2:3], ln_ref[3:4], qk_ln_eps)
     if has_rope:
         q = _rope_in_kernel(q, cq_ref[...], sq_ref[...])
         k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
@@ -333,11 +363,13 @@ def _rope_tables(cos, sin, scale: float, n_pad: int):
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret", "layout",
-                              "qk_int8", "softmax", "return_stats"),
+                              "qk_int8", "softmax", "return_stats",
+                              "qk_ln_eps"),
 )
 def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                 rope_q=None, rope_k=None, layout="bhnd", kv_bias=None,
-                qk_int8=False, softmax="online", return_stats=False):
+                qk_int8=False, softmax="online", return_stats=False,
+                qk_ln=None, qk_ln_eps=None):
     """layout="bhnd": q/k/v are (B, H, N, D) - flattened to (B*H, N, D).
     layout="nhd":  q/k/v are (B, N, H, D) - the PROJECTION's natural output
     layout (reshape of (B, N, C) is free). The kernel then reads strided
@@ -353,6 +385,14 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         Nk = k.shape[2]
         seq_ax = 2
     has_rope = rope_q is not None
+    has_qkln = qk_ln is not None
+    if has_qkln:
+        # In-kernel qk-norm rides the rope tile-prep caches, and the int8
+        # quantization scales are computed by the caller from pre-LN data
+        # (wrong post-LN) - keep the fusion to the rope'd bf16 paths.
+        assert has_rope, "qk_ln requires in-kernel rope (shared tile prep)"
+        assert not qk_int8, "qk_ln + qk_int8 unsupported (scales are pre-LN)"
+        assert qk_ln_eps is not None
     # int8 QK^T only pays off on the multi-k-block (global attention) path;
     # the one-shot kernel (frame attention, K=64-geometry bound) measured
     # int8 ~= bf16 in round 1, so it silently stays bf16 there.
@@ -374,15 +414,33 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                   and (Nk + (-Nk) % block_k) // block_k > 1)
     sm_ops = []
     if use_static:
-        def row_norm_max(x):
-            sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
-            return jnp.sqrt(jnp.max(sq, axis=seq_ax))        # (B, H)
+        if has_qkln:
+            # LN output rows satisfy ||y|| <= sqrt(D)*max|gamma| + ||beta||
+            # (the normalized row has norm exactly sqrt(D) up to eps), so
+            # the Cauchy-Schwarz bound comes from the LN PARAMS alone - no
+            # pass over q/k at all. For typical gamma ~ 1, beta ~ 0 this is
+            # as tight as the data bound (sqrt(D) each side); pathological
+            # gamma spread only loosens it by log2(max|g|/rms(g)) << the
+            # ~120-unit flush margin.
+            def param_bound(g, b_):
+                gf = g.astype(jnp.float32)
+                bf = b_.astype(jnp.float32)
+                return (math.sqrt(D) * jnp.max(jnp.abs(gf))
+                        + jnp.sqrt(jnp.sum(bf * bf)))
 
-        smax = c_scale * row_norm_max(q) * row_norm_max(k)
+            gq_, bq_, gk_, bk_ = qk_ln
+            smax = jnp.full((B * H,), c_scale * param_bound(gq_, bq_)
+                            * param_bound(gk_, bk_), jnp.float32)
+        else:
+            def row_norm_max(x):
+                sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
+                return jnp.sqrt(jnp.max(sq, axis=seq_ax))    # (B, H)
+
+            smax = (c_scale * row_norm_max(q) * row_norm_max(k)).reshape(-1)
         if kv_bias is not None:
             smax = smax + jnp.max(kv_bias.astype(jnp.float32)) \
                 * math.log2(math.e)
-        sm_ops = [smax.reshape(-1)]
+        sm_ops = [smax]
 
     if not has_rope and not use_int8:
         q = (q.astype(jnp.float32) * c_scale).astype(q.dtype)
@@ -409,6 +467,13 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         sk_s = amax_bound(k)
         sc_ops = [jnp.stack([127.0 / sq_s, 127.0 / sk_s,
                              sq_s * sk_s * (c_scale / (127.0 * 127.0))])]
+
+    ln_ops = []
+    if has_qkln:
+        # One (4, D) f32 table: q gamma/beta rows then k gamma/beta rows,
+        # shared across batch/heads (torch q_norm/k_norm are per-head-dim).
+        ln_ops = [jnp.stack([t.astype(jnp.float32).reshape(D)
+                             for t in qk_ln])]
 
     pad_q = (-Nq) % block_q
     pad_k = (-Nk) % block_k
@@ -498,6 +563,12 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     else:
         vl = jnp.minimum(jnp.asarray(valid_len, jnp.int32), Nk).reshape(1)
 
+    ln_specs2 = []
+    ln_specs3 = []
+    if has_qkln:
+        ln_specs2 = [pl.BlockSpec((4, D), lambda b, i: (0, 0))]
+        ln_specs3 = [pl.BlockSpec((4, D), lambda b, i, j: (0, 0))]
+
     has_bias = kv_bias is not None
     bias_ops = []
     bias_specs2 = []
@@ -530,10 +601,11 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         out = pl.pallas_call(
             functools.partial(_flash_single_kernel, masked=masked,
                               has_rope=has_rope, has_bias=has_bias,
-                              return_stats=return_stats),
+                              return_stats=return_stats,
+                              qk_ln_eps=qk_ln_eps if has_qkln else None),
             grid=(B * H, nq_blocks),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + bias_specs2 +
-            rope_specs2 + qkv_specs((q_map2, k_map2)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + ln_specs2 +
+            bias_specs2 + rope_specs2 + qkv_specs((q_map2, k_map2)),
             out_specs=out_spec2,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
@@ -542,14 +614,15 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                 # the larger tiles that win at these shapes.
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(vl, *bias_ops, *rope_ops, qf, kf, vf)
+        )(vl, *ln_ops, *bias_ops, *rope_ops, qf, kf, vf)
         return unpack(out)
 
     kernel = functools.partial(
         _flash_kernel, block_k=block_k,
         num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope,
         has_bias=has_bias, qk_int8=use_int8, static_max=use_static,
-        return_stats=return_stats)
+        return_stats=return_stats,
+        qk_ln_eps=qk_ln_eps if has_qkln else None)
     sm_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if use_static else []
 
     scratch = [
@@ -576,7 +649,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         kernel,
         grid=(B * H, nq_blocks, nk_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + sm_specs +
-        sc_specs + bias_specs3 + rope_specs3 + qkv_specs((q_map3, k_map3)),
+        sc_specs + ln_specs3 + bias_specs3 + rope_specs3 +
+        qkv_specs((q_map3, k_map3)),
         out_specs=out_spec3,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -584,14 +658,15 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
             dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(vl, *sm_ops, *sc_ops, *bias_ops, *rope_ops, qf, kf, vf)
+    )(vl, *sm_ops, *sc_ops, *ln_ops, *bias_ops, *rope_ops, qf, kf, vf)
     return unpack(out)
 
 
 def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
                     interpret=False, rope_q=None, rope_k=None,
                     layout="bhnd", kv_bias=None, qk_int8=False,
-                    softmax="online", return_stats=False):
+                    softmax="online", return_stats=False,
+                    qk_ln=None, qk_ln_eps=1e-5):
     """Pallas flash attention forward.
 
     `return_stats` (layout="bhnd" only): additionally return the per-row
@@ -683,13 +758,14 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
     return _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                        rope_q=rope_q, rope_k=rope_k, layout=layout,
                        kv_bias=kv_bias, qk_int8=qk_int8, softmax=softmax,
-                       return_stats=return_stats)
+                       return_stats=return_stats, qk_ln=qk_ln,
+                       qk_ln_eps=qk_ln_eps if qk_ln is not None else None)
 
 
 def attention(q, k, v, impl: str = "chunked", valid_len=None,
               interpret: bool = False, rope_q=None, rope_k=None,
               layout: str = "bhnd", kv_bias=None, qk_int8: bool = False,
-              softmax: str = "online"):
+              softmax: str = "online", qk_ln=None, qk_ln_eps: float = 1e-5):
     """Dispatch by implementation name. See module docstring.
 
     Only "flash" consumes rope_q/rope_k (in-kernel rotary); callers using
@@ -708,8 +784,10 @@ def attention(q, k, v, impl: str = "chunked", valid_len=None,
         return flash_attention(q, k, v, valid_len=valid_len,
                                interpret=interpret, rope_q=rope_q,
                                rope_k=rope_k, layout=layout, kv_bias=kv_bias,
-                               qk_int8=qk_int8, softmax=softmax)
+                               qk_int8=qk_int8, softmax=softmax,
+                               qk_ln=qk_ln, qk_ln_eps=qk_ln_eps)
     assert rope_q is None
+    assert qk_ln is None, "in-kernel qk-norm is flash-only; pre-apply LN"
     if layout == "nhd":
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
     if impl == "naive":

@@ -81,8 +81,12 @@ def parse_plane(buf: bytes) -> dict:
             if mid is not None:
                 meta[mid] = mdisp or mname
         elif fn == 3 and wt == 2:  # XLine
+            lname = ""
+            levents = []
             for f2, w2, v2 in _fields(v):
-                if f2 == 4 and w2 == 2:  # XEvent
+                if f2 == 2 and w2 == 2:
+                    lname = v2.decode("utf-8", "replace")
+                elif f2 == 4 and w2 == 2:  # XEvent
                     mid, dur = None, 0
                     for f3, w3, v3 in _fields(v2):
                         if f3 == 1 and w3 == 0:
@@ -90,7 +94,8 @@ def parse_plane(buf: bytes) -> dict:
                         elif f3 == 3 and w3 == 0:
                             dur = v3
                     if mid is not None:
-                        events.append((mid, dur))
+                        levents.append((mid, dur))
+            events.extend((lname, m, d) for m, d in levents)
     return {"name": name, "metadata": meta, "events": events}
 
 
@@ -108,18 +113,25 @@ def find_xplane(trace_dir: str) -> str:
     return max(pats, key=os.path.getmtime)
 
 
-def op_times(trace_dir: str, plane_filter: str = "TPU") -> list:
+def op_times(trace_dir: str, plane_filter: str = "TPU",
+             line_filter: str = "") -> list:
     """Aggregate device op times: [(op_name, total_ms, count)], descending.
 
     Sums event durations on every plane whose name contains `plane_filter`
-    (default: the TPU device plane; pass "" for all planes).
+    (default: the TPU device plane; pass "" for all planes) and every line
+    whose name contains `line_filter`. Durations on different lines of one
+    plane OVERLAP in wall time (compute steps vs async DMA streams) - for
+    a serial compute budget, restrict to the XLA op line (e.g.
+    line_filter="XLA Ops" on TPU traces).
     """
     agg = defaultdict(lambda: [0.0, 0])
     for plane in parse_xspace(find_xplane(trace_dir)):
         if plane_filter and plane_filter not in plane["name"]:
             continue
         md = plane["metadata"]
-        for mid, dur in plane["events"]:
+        for lname, mid, dur in plane["events"]:
+            if line_filter and line_filter not in lname:
+                continue
             a = agg[md.get(mid, f"#{mid}")]
             a[0] += dur * 1e-9  # ps -> ms
             a[1] += 1
@@ -128,9 +140,27 @@ def op_times(trace_dir: str, plane_filter: str = "TPU") -> list:
     return rows
 
 
+def line_names(trace_dir: str, plane_filter: str = "TPU") -> list:
+    """[(plane_name, line_name, total_ms, n_events)] for trace exploration."""
+    out = defaultdict(lambda: [0.0, 0])
+    for plane in parse_xspace(find_xplane(trace_dir)):
+        if plane_filter and plane_filter not in plane["name"]:
+            continue
+        for lname, mid, dur in plane["events"]:
+            a = out[(plane["name"], lname)]
+            a[0] += dur * 1e-9
+            a[1] += 1
+    return [(p, ln, v[0], v[1]) for (p, ln), v in sorted(out.items())]
+
+
 if __name__ == "__main__":
     import sys
-    rows = op_times(sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace",
-                    sys.argv[2] if len(sys.argv) > 2 else "TPU")
-    for name, ms, n in rows[:40]:
-        print(f"{ms:9.3f} ms x{n:5d}  {name[:110]}")
+    d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace"
+    pf = sys.argv[2] if len(sys.argv) > 2 else "TPU"
+    lf = sys.argv[3] if len(sys.argv) > 3 else ""
+    if lf == "--lines":
+        for p, ln, ms, n in line_names(d, pf):
+            print(f"{ms:10.3f} ms x{n:6d}  [{p}] {ln}")
+    else:
+        for name, ms, n in op_times(d, pf, lf)[:40]:
+            print(f"{ms:9.3f} ms x{n:5d}  {name[:110]}")
