@@ -41,6 +41,10 @@ CONFIGS = [
     ("exact_static", 1, "static"),
     ("merged_online", 4, "online"),
     ("merged_static", 4, "static"),
+    # Aggressive-merge candidates (FastVGGT operates far above stride 4):
+    # run with --configs to cost a prospective faster operating point.
+    ("merged8_online", 8, "online"),
+    ("merged8_static", 8, "static"),
 ]
 
 # Sequence seeds: the trainer's stream uses seeds 1..steps (seed 0 run)

@@ -168,15 +168,18 @@ class Attention(nn.Module):
             q = q + qkv_bias[:C]
             k = k + qkv_bias[C:2 * C]
             v = v + qkv_bias[2 * C:]
-        # Head-major (B,H,N,Dh) for the kernel. An (B,N,H,Dh)-native kernel
-        # path exists (attention.py layout="nhd") but Mosaic currently
-        # rejects per-head blocks ((1,bq,1,D): second-to-last block dim must
-        # be divisible by 8 or equal the array dim), so the transposes stay;
-        # they measure ~0.2 ms each at S=33 global shape (near HBM bound).
+        # Layout: the flash path consumes the projections' NATIVE
+        # (B, N, H*Dh) output directly (attention.py layout="packed" -
+        # heads fold into the lane dim in 128-lane groups), so q/k/v and
+        # the attention output cross HBM with ZERO transposes/reshapes.
+        # Non-flash impls and the ring path take head-major (B,H,N,Dh).
+        use_ring = self.seq_mesh is not None and kv_map is None
+        use_packed = self.attn_impl == "flash" and not use_ring
         Nk = k.shape[1]
-        q = jnp.swapaxes(q.reshape(B, N, H, Dh), 1, 2)          # (B,H,N,Dh)
-        k = jnp.swapaxes(k.reshape(B, Nk, H, Dh), 1, 2)
-        v = jnp.swapaxes(v.reshape(B, Nk, H, Dh), 1, 2)
+        if not use_packed:
+            q = jnp.swapaxes(q.reshape(B, N, H, Dh), 1, 2)      # (B,H,N,Dh)
+            k = jnp.swapaxes(k.reshape(B, Nk, H, Dh), 1, 2)
+            v = jnp.swapaxes(v.reshape(B, Nk, H, Dh), 1, 2)
 
         # Per-head LayerNorm over head_dim, BEFORE rotary embedding (matches
         # the released VGGT attention: qkv -> q_norm/k_norm -> rope). On the
@@ -189,27 +192,30 @@ class Attention(nn.Module):
         if self.qk_norm:
             gq_ln, bq_ln = _LNParams(Dh, name="q_norm")()
             gk_ln, bk_ln = _LNParams(Dh, name="k_norm")()
-            ring_ = self.seq_mesh is not None and kv_map is None
-            fuse_ln = (self.attn_impl == "flash" and not ring_
+            fuse_ln = (self.attn_impl == "flash" and not use_ring
                        and rope_cos is not None and not self.qk_int8)
             if fuse_ln:
                 qk_ln = (gq_ln, bq_ln, gk_ln, bk_ln)
             else:
-                q = _layer_norm_f32(q, gq_ln, bq_ln,
-                                    self.ln_eps).astype(self.dtype)
-                k = _layer_norm_f32(k, gk_ln, bk_ln,
-                                    self.ln_eps).astype(self.dtype)
+                def _ln(t, n, g, b_):
+                    hd = t.reshape(B, n, H, Dh) if use_packed else t
+                    hd = _layer_norm_f32(hd, g, b_,
+                                         self.ln_eps).astype(self.dtype)
+                    return hd.reshape(B, n, C) if use_packed else hd
+
+                q = _ln(q, N, gq_ln, bq_ln)
+                k = _ln(k, Nk, gk_ln, bk_ln)
 
         if kv_map is None:
             kv_rope_cos, kv_rope_sin = rope_cos, rope_sin
             kv_valid_len = valid_len
 
-        # Sequence-parallel ring attention takes the exact (unmerged) path
-        # when a mesh is configured: tokens stay sharded, K/V rotate over
-        # ICI (parallel/ring.py). With K/V merging the reduced set is 4x
-        # smaller, so the plain jit-sharding all-gather remains the right
-        # design and the regular dispatch below handles it.
-        use_ring = self.seq_mesh is not None and kv_map is None
+        # Sequence-parallel ring attention (use_ring above) takes the exact
+        # (unmerged) path when a mesh is configured: tokens stay sharded,
+        # K/V rotate over ICI (parallel/ring.py). With K/V merging the
+        # reduced set is 4x smaller, so the plain jit-sharding all-gather
+        # remains the right design and the regular dispatch below handles
+        # it.
 
         # The flash kernel applies rotary in-kernel from the tiny shared
         # tables (ops/attention.py), skipping two full HBM round trips of
@@ -236,8 +242,11 @@ class Attention(nn.Module):
                                      rope_q=rope_q, rope_k=rope_k,
                                      kv_bias=kv_bias, qk_int8=self.qk_int8,
                                      softmax=self.softmax_mode,
-                                     qk_ln=qk_ln, qk_ln_eps=self.ln_eps)
-        out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
+                                     qk_ln=qk_ln, qk_ln_eps=self.ln_eps,
+                                     layout="packed" if use_packed
+                                     else "bhnd", num_heads=H)
+        if not use_packed:
+            out = jnp.swapaxes(out, 1, 2).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 

@@ -117,8 +117,16 @@ def _ln_in_kernel(x, g, b, eps):
 
 def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
                   has_bias, qk_int8=False, static_max=False,
-                  return_stats=False, qk_ln_eps=None):
+                  return_stats=False, qk_ln_eps=None, hp=1):
     """Online-softmax step for one (q-block, k-block) tile.
+
+    `hp` > 1 is the packed-heads layout (_flash_call layout="packed"): the
+    lane dim of every q/k/v/o tile carries `hp` heads' D-wide slices side
+    by side, so one grid step runs `hp` heads on static lane slices of one
+    loaded tile and all ref stores stay full-width. This is what lets the
+    caller skip the (B,H,N,D) transposes entirely: Mosaic rejects per-head
+    4D blocks ((1, bq, 1, D) - second-to-last block dim must divide 8),
+    but folding heads into lanes keeps blocks 3D with a 128-lane minor.
 
     VPU-lean design (the kernel is ~half VPU-bound at D=64, where both
     matmuls cap at 50% MXU utilization): the softmax scale AND log2(e) are
@@ -185,78 +193,138 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
+    D = q_ref.shape[-1] // hp
+    # Per-head lane windows of the (block, hp*D) tiles, and the 128-lane
+    # column windows of the m/l scratch that hold each head's row stats
+    # (stats are stored broadcast across the head's window so every store
+    # stays a full-width lane write).
+    HW = [slice(h * D, (h + 1) * D) for h in range(hp)]
+    SW = [slice(h * (128 // hp), (h + 1) * (128 // hp)) for h in range(hp)]
+
     if has_rope or qk_int8:
         # q/k tile preparation caches (see docstring): rope and/or int8
         # quantization run once per q block / once per (batch, head) k
         # block, not once per grid step.
+        def _prep(ref, c_ref, s_ref, ln0, ln1, sc_row):
+            w = _sq(ref)
+            parts = []
+            for h in range(hp):
+                t = w[:, HW[h]]
+                if qk_ln_eps is not None:
+                    t = _ln_in_kernel(t, ln0, ln1, qk_ln_eps)
+                t = (_rope_in_kernel(t, c_ref[...], s_ref[...])
+                     if has_rope else t).astype(jnp.float32)
+                parts.append(_quant_i8(t, sc_ref[sc_row, b * hp + h])
+                             if qk_int8 else t)
+            out = parts[0] if hp == 1 else jnp.concatenate(parts, axis=-1)
+            return out
+
         @pl.when(j == 0)
         def _prep_q():
-            qt = _sq(q_ref)
-            if qk_ln_eps is not None:
-                qt = _ln_in_kernel(qt, ln_ref[0:1], ln_ref[1:2], qk_ln_eps)
-            qf = (_rope_in_kernel(qt, cq_ref[...], sq_ref[...])
-                  if has_rope else qt).astype(jnp.float32)
-            qr_ref[:] = _quant_i8(qf, sc_ref[0, b]) if qk_int8 \
-                else qf.astype(qr_ref.dtype)
+            qr_ref[:] = _prep(q_ref,
+                              cq_ref if has_rope else None,
+                              sq_ref if has_rope else None,
+                              ln_ref[0:1] if ln_ref is not None else None,
+                              ln_ref[1:2] if ln_ref is not None else None,
+                              0).astype(qr_ref.dtype)
 
         @pl.when(i == 0)
         def _prep_k():
-            kt = _sq(k_ref)
-            if qk_ln_eps is not None:
-                kt = _ln_in_kernel(kt, ln_ref[2:3], ln_ref[3:4], qk_ln_eps)
-            kf = (_rope_in_kernel(kt, ck_ref[...], sk_ref[...])
-                  if has_rope else kt).astype(jnp.float32)
             ks_ref[pl.ds(j * block_k, block_k)] = \
-                _quant_i8(kf, sc_ref[1, b]) if qk_int8 \
-                else kf.astype(ks_ref.dtype)
+                _prep(k_ref,
+                      ck_ref if has_rope else None,
+                      sk_ref if has_rope else None,
+                      ln_ref[2:3] if ln_ref is not None else None,
+                      ln_ref[3:4] if ln_ref is not None else None,
+                      1).astype(ks_ref.dtype)
 
     def step(apply_mask):
         # Keep matmul operands in bf16 (or int8 with `qk_int8`): the MXU
         # runs bf16 x bf16 -> f32 at full rate and int8 x int8 -> int32 at
         # 2x that, while f32 operands drop it ~8x. Softmax stats stay f32.
         if has_rope or qk_int8:
-            q = qr_ref[:]                            # (block_q, D)
-            k = ks_ref[pl.ds(j * block_k, block_k)]  # (block_k, D)
+            qw = qr_ref[:]                           # (block_q, hp*D)
+            kw = ks_ref[pl.ds(j * block_k, block_k)]
         else:
-            q = _sq(q_ref)                           # (block_q, D)
-            k = _sq(k_ref)                           # (block_k, D)
-        v = _sq(v_ref)                               # (block_k, D)
+            qw = _sq(q_ref)
+            kw = _sq(k_ref)
+        vw = _sq(v_ref)                              # (block_k, hp*D)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32 if qk_int8 else jnp.float32)
-        if qk_int8:
-            # Dequantize: sc[2] folds the q/k scales, softmax scale and
-            # log2(e) into one per-(batch,head) constant.
-            s = s.astype(jnp.float32) * sc_ref[2, b]
-        if has_bias:
-            s = s + b_ref[...]                       # (1, block_k) broadcast
-        if apply_mask:
-            col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < vl_ref[0], s, _NEG_INF)
-
+        accw = acc_ref[:]
+        acc_parts = []
         if static_max:
-            # Exponent shift by the precomputed per-(b,h) bound: no max
-            # pass, no correction, no accumulator rescale.
-            p = jnp.exp2(s - sm_ref[b])              # (block_q, block_k) f32
-            l_new = l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+            lw = l_ref[:]
+            l_parts = []
+            for h in range(hp):
+                q, k, v = qw[:, HW[h]], kw[:, HW[h]], vw[:, HW[h]]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32 if qk_int8
+                    else jnp.float32)
+                if qk_int8:
+                    # Dequantize: sc[2] folds the q/k scales, softmax scale
+                    # and log2(e) into one per-(batch,head) constant.
+                    s = s.astype(jnp.float32) * sc_ref[2, b * hp + h]
+                if has_bias:
+                    s = s + b_ref[...]               # (1, block_k) broadcast
+                if apply_mask:
+                    col = j * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, s.shape, 1)
+                    s = jnp.where(col < vl_ref[0], s, _NEG_INF)
+                # Exponent shift by the precomputed per-(b,h) bound: no max
+                # pass, no correction, no accumulator rescale.
+                p = jnp.exp2(s - sm_ref[b * hp + h])
+                l_new = lw[:, SW[h]][:, :1] + jnp.sum(p, axis=-1,
+                                                      keepdims=True)
+                acc_parts.append(accw[:, HW[h]] + jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                l_parts.append(jnp.broadcast_to(l_new,
+                                                (l_new.shape[0], 128 // hp)))
+            acc_ref[:] = (acc_parts[0] if hp == 1
+                          else jnp.concatenate(acc_parts, axis=-1))
+            l_ref[:] = (l_parts[0] if hp == 1
+                        else jnp.concatenate(l_parts, axis=-1))
             return
 
-        m_prev = m_ref[:, :1]                        # (block_q, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)   # (block_q, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp2(s - m_new)                      # (block_q, block_k) f32
-        corr = jnp.exp2(m_prev - m_new)              # (block_q, 1)
-        l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        mw = m_ref[:]
+        lw = l_ref[:]
+        m_parts = []
+        l_parts = []
+        for h in range(hp):
+            q, k, v = qw[:, HW[h]], kw[:, HW[h]], vw[:, HW[h]]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32 if qk_int8 else jnp.float32)
+            if qk_int8:
+                s = s.astype(jnp.float32) * sc_ref[2, b * hp + h]
+            if has_bias:
+                s = s + b_ref[...]
+            if apply_mask:
+                col = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                             s.shape, 1)
+                s = jnp.where(col < vl_ref[0], s, _NEG_INF)
+
+            m_prev = mw[:, SW[h]][:, :1]             # (block_q, 1)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp2(s - m_new)                  # (block_q, block_k) f32
+            corr = jnp.exp2(m_prev - m_new)          # (block_q, 1)
+            l_new = corr * lw[:, SW[h]][:, :1] + jnp.sum(p, axis=-1,
+                                                         keepdims=True)
+            acc_parts.append(accw[:, HW[h]] * corr + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            m_parts.append(jnp.broadcast_to(m_new,
+                                            (m_new.shape[0], 128 // hp)))
+            l_parts.append(jnp.broadcast_to(l_new,
+                                            (l_new.shape[0], 128 // hp)))
+        acc_ref[:] = (acc_parts[0] if hp == 1
+                      else jnp.concatenate(acc_parts, axis=-1))
+        m_ref[:] = (m_parts[0] if hp == 1
+                    else jnp.concatenate(m_parts, axis=-1))
+        l_ref[:] = (l_parts[0] if hp == 1
+                    else jnp.concatenate(l_parts, axis=-1))
 
     if masked:
         start = j * block_k
@@ -274,8 +342,14 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
 
     @pl.when(j == num_k_blocks - 1)
     def _finish():
-        o_ref[...] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
-                      ).astype(o_ref.dtype).reshape(o_ref.shape)
+        if hp == 1:
+            o = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        else:
+            accw, lw = acc_ref[:], l_ref[:]
+            o = jnp.concatenate(
+                [accw[:, HW[h]] / jnp.maximum(lw[:, SW[h]][:, :1], 1e-30)
+                 for h in range(hp)], axis=-1)
+        o_ref[...] = o.astype(o_ref.dtype).reshape(o_ref.shape)
         if return_stats:
             # Softmax stats in the kernel's exp2 domain (scale and log2(e)
             # already folded into the logits): m = the value the summands
@@ -290,9 +364,15 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
 
 
 def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias,
-                         return_stats=False, qk_ln_eps=None):
+                         return_stats=False, qk_ln_eps=None, hp=1):
     """One-shot softmax for Nk <= one k-block (frame attention, camera
-    trunk): no online-softmax accumulators, no m/l scratch traffic."""
+    trunk): no online-softmax accumulators, no m/l scratch traffic.
+
+    `hp` > 1: the packed-heads layout - the tile's lane dim carries `hp`
+    heads' D-wide slices side by side (see _flash_call layout="packed");
+    each head's attention runs on a static lane slice of the loaded tile
+    and the outputs re-concatenate, so the store stays one full-width
+    write."""
     off = 0
     b_ref = None
     ln_ref = None
@@ -309,33 +389,44 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias,
         q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref = refs[off:off + 6]
     else:
         q_ref, k_ref, v_ref, o_ref = refs[off:off + 4]
-    q = _sq(q_ref)                               # (block_q, D)
-    k = _sq(k_ref)                               # (Nk_pad, D)
-    v = _sq(v_ref)
-    if qk_ln_eps is not None:
-        q = _ln_in_kernel(q, ln_ref[0:1], ln_ref[1:2], qk_ln_eps)
-        k = _ln_in_kernel(k, ln_ref[2:3], ln_ref[3:4], qk_ln_eps)
-    if has_rope:
-        q = _rope_in_kernel(q, cq_ref[...], sq_ref[...])
-        k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    if has_bias:
-        s = s + b_ref[...]
-    if masked:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < vl_ref[0], s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[...] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)\
-        .reshape(o_ref.shape)
+    qw = _sq(q_ref)                              # (block_q, hp*D)
+    kw = _sq(k_ref)                              # (Nk_pad, hp*D)
+    vw = _sq(v_ref)
+    D = qw.shape[-1] // hp
+    outs = []
+    ms = []
+    ls = []
+    for h in range(hp):
+        sl = slice(h * D, (h + 1) * D)
+        q, k, v = qw[:, sl], kw[:, sl], vw[:, sl]
+        if qk_ln_eps is not None:
+            q = _ln_in_kernel(q, ln_ref[0:1], ln_ref[1:2], qk_ln_eps)
+            k = _ln_in_kernel(k, ln_ref[2:3], ln_ref[3:4], qk_ln_eps)
+        if has_rope:
+            q = _rope_in_kernel(q, cq_ref[...], sq_ref[...])
+            k = _rope_in_kernel(k, ck_ref[...], sk_ref[...])
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + b_ref[...]
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < vl_ref[0], s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        outs.append(o / jnp.maximum(l, 1e-30))
+        ms.append(m)
+        ls.append(l)
+    o = outs[0] if hp == 1 else jnp.concatenate(outs, axis=-1)
+    o_ref[...] = o.astype(o_ref.dtype).reshape(o_ref.shape)
     if return_stats:
-        mo_ref[...] = jnp.broadcast_to(m, mo_ref.shape[-2:]) \
+        mo_ref[...] = jnp.broadcast_to(ms[0], mo_ref.shape[-2:]) \
             .reshape(mo_ref.shape)
-        lo_ref[...] = jnp.broadcast_to(l, lo_ref.shape[-2:]) \
+        lo_ref[...] = jnp.broadcast_to(ls[0], lo_ref.shape[-2:]) \
             .reshape(lo_ref.shape)
 
 
@@ -364,19 +455,38 @@ def _rope_tables(cos, sin, scale: float, n_pad: int):
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret", "layout",
                               "qk_int8", "softmax", "return_stats",
-                              "qk_ln_eps"),
+                              "qk_ln_eps", "num_heads"),
 )
 def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                 rope_q=None, rope_k=None, layout="bhnd", kv_bias=None,
                 qk_int8=False, softmax="online", return_stats=False,
-                qk_ln=None, qk_ln_eps=None):
+                qk_ln=None, qk_ln_eps=None, num_heads=None):
     """layout="bhnd": q/k/v are (B, H, N, D) - flattened to (B*H, N, D).
-    layout="nhd":  q/k/v are (B, N, H, D) - the PROJECTION's natural output
-    layout (reshape of (B, N, C) is free). The kernel then reads strided
-    (1, block, 1, D) tiles directly, eliminating the (B,H,N,D) transposes
-    of q, k, v AND the output that the bhnd form forces on every block
-    (~70 MB each at S=33 global attention)."""
-    if layout == "nhd":
+    layout="packed": q/k/v are (B, N, H*D) - the qkv PROJECTION's natural
+    output, zero transposes/reshapes at the boundary; requires `num_heads`.
+    Heads fold into the lane dim in groups of hp = 128/D per block (see
+    _flash_kernel hp) so every tile keeps a 128-lane minor.
+    layout="nhd":  q/k/v are (B, N, H, D) - kept for reference; Mosaic
+    rejects its per-head (1, block, 1, D) tiles, so it is interpret-only
+    ("packed" is the hardware answer to the same transposes)."""
+    hp = 1
+    if layout == "packed":
+        assert num_heads, "layout='packed' requires num_heads"
+        assert not return_stats, "return_stats requires layout='bhnd'"
+        B, Nq, HD = q.shape
+        H = num_heads
+        D = HD // H
+        if D < 128:
+            # Largest head-group size that fills the 128-lane minor AND
+            # divides the head count (tiny test configs can have H < 128/D;
+            # hp=1 tiles then carry D lanes, fine under interpret and for
+            # D-multiple-of-128 hardware cases).
+            hp = min(128 // D, H)
+            while H % hp:
+                hp -= 1
+        Nk = k.shape[1]
+        seq_ax = 1
+    elif layout == "nhd":
         B, Nq, H, D = q.shape
         Nk = k.shape[1]
         seq_ax = 1
@@ -432,11 +542,18 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
             smax = jnp.full((B * H,), c_scale * param_bound(gq_, bq_)
                             * param_bound(gk_, bk_), jnp.float32)
         else:
-            def row_norm_max(x):
+            def row_norm_max(x, n):
+                if layout == "packed":
+                    x = x.reshape(B, n, H, D)    # free view of (B, N, H*D)
+                    ax = 1
+                else:
+                    ax = seq_ax
                 sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
-                return jnp.sqrt(jnp.max(sq, axis=seq_ax))    # (B, H)
+                m = jnp.sqrt(jnp.max(sq, axis=ax))           # (B, H)
+                return m.reshape(B, H) if layout == "packed" else m
 
-            smax = (c_scale * row_norm_max(q) * row_norm_max(k)).reshape(-1)
+            smax = (c_scale * row_norm_max(q, Nq)
+                    * row_norm_max(k, Nk)).reshape(-1)
         if kv_bias is not None:
             smax = smax + jnp.max(kv_bias.astype(jnp.float32)) \
                 * math.log2(math.e)
@@ -452,10 +569,13 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         # rotation of each (x1, x2) pair: max pair norm (rotation preserves
         # it, and each rotated component is <= the pair norm). Without rope
         # the plain max-abs is tighter.
-        red_ax = (seq_ax, 3)  # either layout leaves (B, H)
-
         def amax_bound(x):
-            xf = x.astype(jnp.float32)
+            if layout == "packed":
+                xf = x.reshape(B, x.shape[1], H, D).astype(jnp.float32)
+                red_ax = (1, 3)
+            else:
+                xf = x.astype(jnp.float32)
+                red_ax = (seq_ax, 3)  # bhnd/nhd leave (B, H)
             if has_rope:
                 x1, x2 = jnp.split(xf, 2, axis=-1)
                 mag = jnp.sqrt(x1 * x1 + x2 * x2)
@@ -486,7 +606,36 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     if return_stats and layout == "nhd":
         raise NotImplementedError("return_stats requires layout='bhnd'")
 
-    if layout == "nhd":
+    if layout == "packed":
+        qf, kf, vf = pad_seq(q, pad_q), pad_seq(k, pad_k), pad_seq(v, pad_k)
+        PPB = H // hp  # head-group blocks per batch
+        lanes = hp * D
+
+        def q_map2(b, i):
+            return (b // PPB, i, b % PPB)
+
+        def k_map2(b, i):
+            return (b // PPB, 0, b % PPB)
+
+        def q_map3(b, i, j):
+            return (b // PPB, i, b % PPB)
+
+        def k_map3(b, i, j):
+            return (b // PPB, j, b % PPB)
+
+        def qkv_specs(bmaps):
+            q_map, k_map = bmaps
+            return [pl.BlockSpec((1, block_q, lanes), q_map),
+                    pl.BlockSpec((1, block_k, lanes), k_map),
+                    pl.BlockSpec((1, block_k, lanes), k_map)]
+
+        out_shape = jax.ShapeDtypeStruct((B, qf.shape[1], H * D), q.dtype)
+        out_spec2 = pl.BlockSpec((1, block_q, lanes), q_map2)
+        out_spec3 = pl.BlockSpec((1, block_q, lanes), q_map3)
+
+        def unpack(out):
+            return out[:, :Nq] if pad_q else out
+    elif layout == "nhd":
         qf, kf, vf = pad_seq(q, pad_q), pad_seq(k, pad_k), pad_seq(v, pad_k)
 
         def q_map2(b, i):
@@ -602,8 +751,9 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
             functools.partial(_flash_single_kernel, masked=masked,
                               has_rope=has_rope, has_bias=has_bias,
                               return_stats=return_stats,
-                              qk_ln_eps=qk_ln_eps if has_qkln else None),
-            grid=(B * H, nq_blocks),
+                              qk_ln_eps=qk_ln_eps if has_qkln else None,
+                              hp=hp),
+            grid=(B * H // hp, nq_blocks),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + ln_specs2 +
             bias_specs2 + rope_specs2 + qkv_specs((q_map2, k_map2)),
             out_specs=out_spec2,
@@ -622,11 +772,11 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         num_k_blocks=nk_blocks, masked=masked, has_rope=has_rope,
         has_bias=has_bias, qk_int8=use_int8, static_max=use_static,
         return_stats=return_stats,
-        qk_ln_eps=qk_ln_eps if has_qkln else None)
+        qk_ln_eps=qk_ln_eps if has_qkln else None, hp=hp)
     sm_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if use_static else []
 
     scratch = [
-        pltpu.VMEM((block_q, D), jnp.float32),
+        pltpu.VMEM((block_q, hp * D), jnp.float32),
         pltpu.VMEM((block_q, 128), jnp.float32),
         pltpu.VMEM((block_q, 128), jnp.float32),
     ]
@@ -635,8 +785,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         # roped/quantized q cache (per q block) + k cache over ALL k blocks
         # (filled on the first q sweep, reused by every later one)
         cache_dt = jnp.int8 if use_int8 else q.dtype
-        scratch += [pltpu.VMEM((block_q, D), cache_dt),
-                    pltpu.VMEM((nk_blocks * block_k, D), cache_dt)]
+        scratch += [pltpu.VMEM((block_q, hp * D), cache_dt),
+                    pltpu.VMEM((nk_blocks * block_k, hp * D), cache_dt)]
         # the k cache carries state across the i axis, so i is sequential
         semantics = ("parallel", "arbitrary", "arbitrary")
     else:
@@ -647,7 +797,7 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
 
     out = pl.pallas_call(
         kernel,
-        grid=(B * H, nq_blocks, nk_blocks),
+        grid=(B * H // hp, nq_blocks, nk_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + sm_specs +
         sc_specs + ln_specs3 + bias_specs3 + rope_specs3 +
         qkv_specs((q_map3, k_map3)),
@@ -666,7 +816,7 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
                     interpret=False, rope_q=None, rope_k=None,
                     layout="bhnd", kv_bias=None, qk_int8=False,
                     softmax="online", return_stats=False,
-                    qk_ln=None, qk_ln_eps=1e-5):
+                    qk_ln=None, qk_ln_eps=1e-5, num_heads=None):
     """Pallas flash attention forward.
 
     `return_stats` (layout="bhnd" only): additionally return the per-row
@@ -729,9 +879,9 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
         raise NotImplementedError(
             "layout='nhd' needs a (1, block, 1, D) BlockSpec that Mosaic's "
             "TPU lowering rejects (second-to-last block dim must divide 8 "
-            "or equal the array dim); use layout='bhnd' on hardware, or "
-            "interpret=True for testing")
-    seq_ax = 1 if layout == "nhd" else 2
+            "or equal the array dim); layout='packed' is the hardware "
+            "answer to the same transposes (heads folded into lanes)")
+    seq_ax = 2 if layout == "bhnd" else 1
     Nq = q.shape[seq_ax]
     Nk = k.shape[seq_ax]
 
@@ -759,13 +909,15 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
                        rope_q=rope_q, rope_k=rope_k, layout=layout,
                        kv_bias=kv_bias, qk_int8=qk_int8, softmax=softmax,
                        return_stats=return_stats, qk_ln=qk_ln,
-                       qk_ln_eps=qk_ln_eps if qk_ln is not None else None)
+                       qk_ln_eps=qk_ln_eps if qk_ln is not None else None,
+                       num_heads=num_heads)
 
 
 def attention(q, k, v, impl: str = "chunked", valid_len=None,
               interpret: bool = False, rope_q=None, rope_k=None,
               layout: str = "bhnd", kv_bias=None, qk_int8: bool = False,
-              softmax: str = "online", qk_ln=None, qk_ln_eps: float = 1e-5):
+              softmax: str = "online", qk_ln=None, qk_ln_eps: float = 1e-5,
+              num_heads=None):
     """Dispatch by implementation name. See module docstring.
 
     Only "flash" consumes rope_q/rope_k (in-kernel rotary); callers using
@@ -785,10 +937,21 @@ def attention(q, k, v, impl: str = "chunked", valid_len=None,
                                interpret=interpret, rope_q=rope_q,
                                rope_k=rope_k, layout=layout, kv_bias=kv_bias,
                                qk_int8=qk_int8, softmax=softmax,
-                               qk_ln=qk_ln, qk_ln_eps=qk_ln_eps)
+                               qk_ln=qk_ln, qk_ln_eps=qk_ln_eps,
+                               num_heads=num_heads)
     assert rope_q is None
     assert qk_ln is None, "in-kernel qk-norm is flash-only; pre-apply LN"
-    if layout == "nhd":
+    if layout == "packed":
+        assert num_heads, "layout='packed' requires num_heads"
+        B, Nq, HD = q.shape
+        D = HD // num_heads
+
+        def to_bhnd(t):
+            return jnp.swapaxes(
+                t.reshape(t.shape[0], t.shape[1], num_heads, D), 1, 2)
+
+        q, k, v = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    elif layout == "nhd":
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
     if impl == "naive":
         out = naive_attention(q, k, v, valid_len, kv_bias=kv_bias)
@@ -796,4 +959,7 @@ def attention(q, k, v, impl: str = "chunked", valid_len=None,
         out = chunked_attention(q, k, v, valid_len, kv_bias=kv_bias)
     else:
         raise ValueError(f"unknown attention impl {impl!r}")
+    if layout == "packed":
+        return jnp.swapaxes(out, 1, 2).reshape(out.shape[0], out.shape[2],
+                                               -1)
     return jnp.swapaxes(out, 1, 2) if layout == "nhd" else out
