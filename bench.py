@@ -14,15 +14,17 @@ to the real pipeline for everything except keyframing/IO, which the driver
 measures downstream of the open-source datasets.
 
 Operating modes - BOTH are measured every run:
-  * merged (the headline + the CLI default --global_kv_stride 4
+  * merged (the headline + the CLI default --global_kv_stride 8
     --global_merge sim): FastVGGT-style similarity token merging in global
-    attention - one K/V slot per 4 patch tokens of non-reference frames,
+    attention - one K/V slot per 8 patch tokens of non-reference frames,
     dropped tokens merged into their most-similar kept neighbor with
     proportional attention (ToMe), assignment shared across all 24 global
     blocks. Rationale: exact global attention at S=33 costs 116
     TFLOP/submap, above what a single v5e can serve at 20 FPS even at the
-    flash kernel's D=64 utilization ceiling; FastVGGT demonstrates far
-    more aggressive merging on VGGT itself with negligible accuracy loss.
+    flash kernel's D=64 utilization ceiling; the trained-checkpoint ATE
+    A/B measured both stride 4 and stride 8 within the pipeline's numeric
+    noise of exact attention (evals/results/ab_attention*.csv), matching
+    FastVGGT's negligible-loss report at aggressive merge ratios.
   * exact (reported as "exact_fps" in the same JSON line): stride 1, exact
     attention semantics per reference solver.py:469-471.
 BENCH_KV_STRIDE / BENCH_KV_MERGE override the headline operating point.
@@ -62,7 +64,7 @@ def main():
     H, W = 392, 518
 
     on_tpu = backend == "tpu"
-    stride = int(os.environ.get("BENCH_KV_STRIDE", "4"))
+    stride = int(os.environ.get("BENCH_KV_STRIDE", "8"))
     merge = os.environ.get("BENCH_KV_MERGE", "sim")
     # Global-attention QK^T numerics (both operating points): bf16 by
     # default, matching the CLI; BENCH_QK_INT8=1 opts into the in-kernel

@@ -71,14 +71,16 @@ parser.add_argument("--retrieval_backend", default="salad",
                          "with no external weights")
 parser.add_argument("--model_size", type=str, default="1b",
                     choices=["1b", "small", "tiny"], help="model configuration")
-parser.add_argument("--global_kv_stride", type=int, default=4,
+parser.add_argument("--global_kv_stride", type=int, default=8,
                     help="FastVGGT-style global-attention K/V token merging "
                          "budget: one K/V slot per N patch tokens of "
                          "non-reference frames (1 = exact attention). The "
-                         "default (4) matches the benchmarked operating "
-                         "point; --global_merge sim merges dropped tokens "
-                         "into their most-similar kept neighbor rather than "
-                         "discarding them")
+                         "default (8) matches the benchmarked operating "
+                         "point, whose trajectory cost measured within the "
+                         "pipeline's numeric noise of exact attention "
+                         "(evals/results/ab_attention_s8.csv); --global_merge "
+                         "sim merges dropped tokens into their most-similar "
+                         "kept neighbor rather than discarding them")
 parser.add_argument("--global_merge", type=str, default="sim",
                     choices=["sim", "stride"],
                     help="how the reduced K/V set is formed when "
