@@ -901,7 +901,14 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
         if Nq < 4 * block_q:
             block_q = max(128, min(block_q, 256))
         block_q = min(block_q, max(128, 1 << (Nq - 1).bit_length()))
-        block_k = min(block_k, max(128, 1 << (Nk - 1).bit_length()))
+        # Size block_k to the EVEN split of Nk rather than a fixed 2048:
+        # with merged K/V (e.g. Nk=5329 at stride 8) the fixed tile pads
+        # 15% of the key range (5329 -> 3x2048), and every padded column
+        # still pays full QK^T/AV matmul cost in the straddle block. The
+        # even split rounded to 256 lanes keeps pad waste ~1%
+        # (5329 -> 3x1792 = 5376) at identical per-tile MXU efficiency.
+        nk_b = -(-Nk // block_k)
+        block_k = min(block_k, max(256, roundup(-(-Nk // nk_b), 256)))
         # Multi-block rope runs in-kernel with scratch caching (q rotated
         # once per q block, every k block rotated once per (batch, head)
         # on the first q sweep) - no pre-applied roped q/k round trips.
