@@ -323,3 +323,59 @@ class TestNHDLayout:
                                  layout="nhd")
             np.testing.assert_allclose(np.asarray(jnp.swapaxes(out, 1, 2)),
                                        np.asarray(ref), atol=2e-5)
+
+
+class TestPackedLayout:
+    """layout="packed" ((B, N, H*D), heads folded into lanes in 128-lane
+    groups) must match the bhnd reference in every kernel configuration -
+    this is the TPU hot-path layout (ops/attention.py _flash_call)."""
+
+    def _pack(self, t):
+        # (B, H, N, D) -> (B, N, H*D)
+        B, H, N, D = t.shape
+        return jnp.swapaxes(t, 1, 2).reshape(B, N, H * D)
+
+    def _run_both(self, rng, N=300, Nk=None, D=64, H=4, **kw):
+        Nk = N if Nk is None else Nk
+        q, k, v = make_qkv(rng, B=2, H=H, N=N, D=D)
+        k, v = k[:, :, :Nk], v[:, :, :Nk]
+        out_b = attn.flash_attention(q, k, v, interpret=True, **kw)
+        out_p = attn.flash_attention(self._pack(q), self._pack(k),
+                                     self._pack(v), layout="packed",
+                                     num_heads=H, interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(out_p),
+                                   np.asarray(self._pack(out_b)),
+                                   atol=2e-5)
+
+    def test_single_block(self):
+        self._run_both(np.random.default_rng(10), N=256, Nk=192)
+
+    def test_multi_block_online(self):
+        self._run_both(np.random.default_rng(11), N=520, Nk=520,
+                       block_q=128, block_k=128, valid_len=500)
+
+    def test_multi_block_rope_static_bias(self):
+        rng = np.random.default_rng(12)
+        N, D, H = 520, 64, 4
+        cos = jnp.asarray(rng.uniform(size=(N, D // 2)), jnp.float32)
+        sin = jnp.asarray(rng.uniform(size=(N, D // 2)), jnp.float32)
+        bias = jnp.asarray(rng.uniform(0, 1, (N,)), jnp.float32)
+        g = jnp.asarray(rng.uniform(0.5, 1.5, (D,)), jnp.float32)
+        b = jnp.asarray(rng.uniform(-0.1, 0.1, (D,)), jnp.float32)
+        self._run_both(rng, N=N, Nk=N, block_q=128, block_k=128,
+                       rope_q=(cos, sin), rope_k=(cos, sin),
+                       kv_bias=bias, softmax="static",
+                       qk_ln=(g, b, g, b), qk_ln_eps=1e-5, valid_len=480)
+
+    def test_multi_block_int8(self):
+        rng = np.random.default_rng(13)
+        N, D = 520, 64
+        cos = jnp.asarray(rng.uniform(size=(N, D // 2)), jnp.float32)
+        sin = jnp.asarray(rng.uniform(size=(N, D // 2)), jnp.float32)
+        self._run_both(rng, N=N, Nk=N, block_q=128, block_k=128,
+                       rope_q=(cos, sin), rope_k=(cos, sin), qk_int8=True)
+
+    def test_odd_head_count_falls_back_to_hp1(self):
+        # H=3 with D=64: no head-group divides 128 lanes -> hp degrades to
+        # 1 and the packed call must still be correct (D-lane tiles).
+        self._run_both(np.random.default_rng(14), N=300, H=3)
