@@ -379,3 +379,10 @@ class TestPackedLayout:
         # H=3 with D=64: no head-group divides 128 lanes -> hp degrades to
         # 1 and the packed call must still be correct (D-lane tiles).
         self._run_both(np.random.default_rng(14), N=300, H=3)
+
+    def test_hp_must_divide_128(self):
+        # H=6, D=32: hp=3 would divide H but store 3x42=126 lanes into the
+        # 128-wide m/l scratch; selection must land on hp=2 (divides both
+        # H and 128). Multi-k-block path so the scratch is exercised.
+        self._run_both(np.random.default_rng(15), N=520, H=6, D=32,
+                       block_q=128, block_k=128)

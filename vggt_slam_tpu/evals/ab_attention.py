@@ -1,6 +1,6 @@
 """Merged-vs-exact global-attention ATE A/B on a trained model.
 
-The single-chip headline operating point (global_kv_stride=4 similarity
+The single-chip headline operating point (global_kv_stride=8 similarity
 K/V merging + static-max flash softmax) is a perf choice whose trajectory
 cost must be measured on THIS implementation, not cited from FastVGGT's
 paper (VERDICT round-2 item 1). This harness makes that measurement
@@ -34,15 +34,14 @@ import sys
 import tempfile
 
 # (name, global_kv_stride, global_softmax): exact/online is the reference
-# semantics; merged/static is the single-chip headline operating point;
-# the two mixed configs isolate each knob's contribution.
+# semantics; merged8/static is the single-chip headline operating point
+# (the CLI/bench default); the mixed configs isolate each knob's
+# contribution, and the stride-4 pair is the conservative merge point.
 CONFIGS = [
     ("exact_online", 1, "online"),
     ("exact_static", 1, "static"),
     ("merged_online", 4, "online"),
     ("merged_static", 4, "static"),
-    # Aggressive-merge candidates (FastVGGT operates far above stride 4):
-    # run with --configs to cost a prospective faster operating point.
     ("merged8_online", 8, "online"),
     ("merged8_static", 8, "static"),
 ]
@@ -159,11 +158,17 @@ def main():
     for s in summary:
         print(s)
     base = next((s for s in summary if s["config"] == "exact_online"), None)
-    head = next((s for s in summary if s["config"] == "merged_static"), None)
-    if base and head:
-        print(f"merged_static - exact_online ATE delta: "
-              f"{head['ate_rmse_mean'] - base['ate_rmse_mean']:+.6f} m "
-              f"({head['ate_rmse_mean'] / max(base['ate_rmse_mean'], 1e-12):.3f}x)")
+    if base:
+        # Delta of every merged config vs reference semantics;
+        # merged8_static is the shipped headline operating point.
+        for s in summary:
+            if s["config"].startswith("merged"):
+                tag = (" (headline)"
+                       if s["config"] == "merged8_static" else "")
+                print(f"{s['config']} - exact_online ATE delta: "
+                      f"{s['ate_rmse_mean'] - base['ate_rmse_mean']:+.6f} m "
+                      f"({s['ate_rmse_mean'] / max(base['ate_rmse_mean'], 1e-12):.3f}x)"
+                      f"{tag}")
     sum_path = args.out.replace(".csv", "_summary.csv")
     with open(sum_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(summary[0]) if summary else

@@ -59,7 +59,7 @@ def _slam_flags(image_dir: str, args, log_path: str) -> list[str]:
     if args.model_size != "1b":
         flags += ["--model_size", args.model_size]
     # Always pass the stride: main.py's default is the merged operating
-    # point (4), so omitting the flag would silently override a stride-1
+    # point (8), so omitting the flag would silently override a stride-1
     # (exact attention) request from this harness.
     flags += ["--global_kv_stride", str(args.global_kv_stride)]
     if args.global_softmax:
@@ -76,14 +76,17 @@ def _slam_flags(image_dir: str, args, log_path: str) -> list[str]:
 def run_sequence(seq_dir: str, args, trial: int, log_path: str) -> dict:
     image_dir = find_image_dir(seq_dir)
     flags = _slam_flags(image_dir, args, log_path)
-    t0 = time.time()
     if args.in_process:
         # Warm-process mode: the model (params + compiled programs +
         # retrieval) is built once and reused by every trial/sequence, so
-        # per-trial wall time is the SLAM loop itself, not the ~30-200 s
-        # init + compile a subprocess pays each run. Sweep knobs that
-        # change the compiled program (stride, submap size, model size)
-        # are fixed per sweep, so one cache slot suffices.
+        # per-trial wall time is the SLAM loop itself, not the ~10-30 s
+        # param init a subprocess pays each run. The build runs OUTSIDE
+        # the timed window; the first trial still pays the bucketed
+        # forward's XLA compile on its first submap (absorbed by the
+        # persistent compilation cache on warm machines), later trials
+        # are compile-free. Sweep knobs that change the compiled program
+        # (stride, submap size, model size) are fixed per sweep, so one
+        # cache slot suffices.
         from vggt_slam_tpu import main as slam_main
         run_args = slam_main.parser.parse_args(flags)
         if _WARM["model_fn"] is None:
@@ -99,9 +102,11 @@ def run_sequence(seq_dir: str, args, trial: int, log_path: str) -> dict:
                 batch_bucket=(run_args.submap_size
                               + run_args.overlapping_window_size),
                 checkpoint=run_args.retrieval_checkpoint)
+        t0 = time.time()
         slam_main.run_slam(run_args, model_fn=_WARM["model_fn"],
                            retrieval=_WARM["retrieval"])
     else:
+        t0 = time.time()
         cmd = [sys.executable, "-m", "vggt_slam_tpu.main"] + flags
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:

@@ -236,7 +236,8 @@ def run_slam(args, *, model_fn=None, retrieval=None):
                     retrieval=retrieval,
                     vis_stride=args.vis_stride,
                     vis_point_size=args.vis_point_size,
-                    keyframe_backend=args.keyframe_backend)
+                    keyframe_backend=getattr(args, "keyframe_backend",
+                                             "auto"))
     if model_fn is None:
         model_fn = build_model_fn(args)
 

@@ -39,16 +39,6 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
 
 
-def _layer_norm_f32(x, scale, bias, eps):
-    """LayerNorm over the last dim with flax semantics (f32 stats, fast
-    variance clipped at 0) from explicit (D,) f32 scale/bias params."""
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
-    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
-
-
 class _LNParams(nn.Module):
     """Parameter container matching nn.LayerNorm's param tree ("scale",
     "bias") so converter name mappings are identical whether the qk-norm
@@ -197,10 +187,12 @@ class Attention(nn.Module):
             if fuse_ln:
                 qk_ln = (gq_ln, bq_ln, gk_ln, bk_ln)
             else:
+                # Same numerics as the fused path: attn_ops._ln_in_kernel
+                # is the ONE implementation of this LayerNorm (f32 fast-
+                # variance stats, output in the input dtype).
                 def _ln(t, n, g, b_):
                     hd = t.reshape(B, n, H, Dh) if use_packed else t
-                    hd = _layer_norm_f32(hd, g, b_,
-                                         self.ln_eps).astype(self.dtype)
+                    hd = attn_ops._ln_in_kernel(hd, g, b_, self.ln_eps)
                     return hd.reshape(B, n, C) if use_packed else hd
 
                 q = _ln(q, N, gq_ln, bq_ln)

@@ -478,11 +478,14 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         D = HD // H
         if D < 128:
             # Largest head-group size that fills the 128-lane minor AND
-            # divides the head count (tiny test configs can have H < 128/D;
-            # hp=1 tiles then carry D lanes, fine under interpret and for
-            # D-multiple-of-128 hardware cases).
+            # divides both the head count and 128 (the m/l scratch stores
+            # per-head stats in 128/hp-lane column windows, so hp must
+            # divide 128 exactly - hp=3 at H=6, D=32 would store 3x42=126
+            # lanes into the 128-wide scratch). Tiny test configs can have
+            # H < 128/D; hp=1 tiles then carry D lanes, fine under
+            # interpret and for D-multiple-of-128 hardware cases.
             hp = min(128 // D, H)
-            while H % hp:
+            while H % hp or 128 % hp:
                 hp -= 1
         Nk = k.shape[1]
         seq_ax = 1

@@ -220,6 +220,19 @@ def main():
         if step % args.ckpt_every == 0:
             save_checkpoint(params, os.path.join(args.out, "last.npz"))
 
+    # Flush the last step's pending train row (the delayed-readback scheme
+    # above is always one step behind; without this the final step's
+    # metrics never reach the log).
+    if pending is not None:
+        ps, ploss, paux = pending
+        if ps % 25 == 0 or ps == 1:
+            row = {"step": ps, "loss": float(ploss),
+                   **{k: float(v) for k, v in paux.items()},
+                   "wall_s": round(time.time() - t_start, 1)}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(row, flush=True)
+
     save_checkpoint(params, os.path.join(args.out, "last.npz"))
     print(f"done: best val_loss {best_val:.4f}; checkpoint at {ckpt_path}",
           flush=True)
