@@ -272,6 +272,69 @@ class TestGrad:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+class TestFlashGrad:
+    """flash_attention_grad (custom VJP + Pallas backward kernels, the TPU
+    training path) must match XLA autodiff of the naive reference — dq, dk,
+    dv — across softmax modes, valid_len masking, and non-divisible N."""
+
+    def _grads(self, loss, q, k, v):
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def _check(self, B, H, N, D, vl=None, softmax="online", seed=0):
+        rng = np.random.default_rng(seed)
+        q, k, v = make_qkv(rng, B=B, H=H, N=N, D=D)
+
+        def loss_ref(q, k, v):
+            kk = k if vl is None else k[:, :, :vl]
+            vv = v if vl is None else v[:, :, :vl]
+            return jnp.sum(jnp.sin(attn.naive_attention(q, kk, vv)))
+
+        def loss_f(q, k, v):
+            o = attn.flash_attention_grad(q, k, v, valid_len=vl,
+                                          softmax=softmax, block_q=128,
+                                          block_k=128, interpret=True)
+            return jnp.sum(jnp.sin(o))
+
+        gr = self._grads(loss_ref, q, k, v)
+        gf = self._grads(loss_f, q, k, v)
+        for name, a, b in zip("qkv", gr, gf):
+            if vl is not None and name in "kv":
+                tail = np.asarray(b)[:, :, vl:]
+                assert np.abs(tail).max() < 1e-6, name  # masked keys: zero
+                a, b = a[:, :, :vl], b[:, :, :vl]
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-5, err_msg=f"d{name}")
+
+    def test_matches_autodiff(self):
+        self._check(B=1, H=2, N=300, D=64)
+
+    def test_valid_len_and_static_softmax(self):
+        self._check(B=1, H=2, N=256, D=64, vl=200, softmax="static", seed=1)
+
+    def test_dispatch_and_module_integration(self):
+        # impl="flash_grad" through the attention() dispatch == chunked
+        # autodiff, in the packed (B, N, H*D) layout the Attention module
+        # feeds it.
+        rng = np.random.default_rng(2)
+        B, H, N, D = 1, 2, 192, 64
+        q, k, v = make_qkv(rng, B=B, H=H, N=N, D=D)
+        packed = [jnp.swapaxes(t, 1, 2).reshape(B, N, H * D)
+                  for t in (q, k, v)]
+
+        def loss(impl, q, k, v):
+            o = attn.attention(q, k, v, impl=impl, layout="packed",
+                               num_heads=H, interpret=True)
+            return jnp.sum(jnp.cos(o))
+
+        gc = jax.grad(lambda *a: loss("chunked", *a), argnums=(0, 1, 2))(
+            *packed)
+        gf = jax.grad(lambda *a: loss("flash_grad", *a), argnums=(0, 1, 2))(
+            *packed)
+        for a, b in zip(gc, gf):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-5)
+
+
 class TestNHDLayout:
     """layout="nhd" ((B,N,H,D), the projection-natural layout) must agree
     with the default bhnd path on every kernel variant."""

@@ -7,8 +7,10 @@ Pallas flash-attention kernel (online softmax, f32 accumulators, bf16
 operands on the MXU). Three interchangeable implementations:
 
 * "flash":   Pallas TPU kernel (forward only; inference hot path).
+* "flash_grad": flash forward + Pallas backward kernels via jax.custom_vjp
+             (exact attention; the TPU training path).
 * "chunked": XLA lax.map over query chunks - O(chunk*N) memory, fully
-             differentiable; used for training and as the CPU fallback.
+             differentiable; the CPU training fallback.
 * "naive":   materializes logits; reference implementation for tests.
 
 All take (B, H, N, D) tensors. `valid_len` masks padded keys so bucketed
@@ -967,9 +969,241 @@ def attention(q, k, v, impl: str = "chunked", valid_len=None,
         out = naive_attention(q, k, v, valid_len, kv_bias=kv_bias)
     elif impl == "chunked":
         out = chunked_attention(q, k, v, valid_len, kv_bias=kv_bias)
+    elif impl == "flash_grad":
+        # Differentiable flash (custom VJP + Pallas backward kernels):
+        # the training path's kernel. Exact attention only - merging's
+        # kv_bias and the int8 QK^T path are inference operating points.
+        assert kv_bias is None and not qk_int8, \
+            "flash_grad is the exact-attention training kernel"
+        out = flash_attention_grad(q, k, v, valid_len=valid_len,
+                                   softmax=softmax, interpret=interpret)
     else:
         raise ValueError(f"unknown attention impl {impl!r}")
     if layout == "packed":
         return jnp.swapaxes(out, 1, 2).reshape(out.shape[0], out.shape[2],
                                                -1)
     return jnp.swapaxes(out, 1, 2) if layout == "nhd" else out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable flash attention (the training path's kernel)
+#
+# The inference kernels above are pallas_calls with no VJP, so training
+# configs historically fell back to chunked_attention (XLA autodiff, full
+# (chunk, Nk) logits materialized in the backward). flash_attention_grad
+# is a jax.custom_vjp whose forward is the stats-returning flash kernel
+# (out, m, l) and whose backward runs two Pallas kernels implementing the
+# standard FlashAttention backward:
+#
+#     delta_i = rowsum(dO_i * O_i)
+#     p_ij    = exp2(c2 * q_i.k_j - m_i) / l_i          (recomputed per tile)
+#     dV_j    = sum_i p_ij^T dO_i
+#     dL_ij   = p_ij * (dO_i V_j^T - delta_i)           (grad wrt logits/sqrt(D))
+#     dQ_i    = sum_j dL_ij K_j / sqrt(D)
+#     dK_j    = sum_i dL_ij^T Q_i / sqrt(D)
+#
+# Scope (the exact training configuration): bhnd layout, q/k pre-roped and
+# pre-LN'd OUTSIDE (XLA differentiates those), no K/V merging bias, no
+# int8. Both softmax modes work unchanged - the backward only needs the
+# shift m the forward actually used.
+#
+# Per-row stats (m, 1/l, delta) ride ONE (Nq_pad, 3*BH) f32 operand with
+# (block_q, 3*BH) tiles - the (1, block_q)-style per-(b,h) row layout that
+# would be natural here violates Mosaic's last-two-dims tiling rule, so the
+# rows sit on sublanes, (b,h) on lanes, and each kernel instance selects
+# its lane with a one-hot reduction (3*BH lanes; negligible VPU work).
+
+
+def _bwd_stats_cols(st_ref, b, BH):
+    """(block_q, 3*BH) stats tile -> per-row (m, w, delta) columns of
+    batch-head b via one-hot lane selection."""
+    st = st_ref[...].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+
+    def sel(base):
+        return jnp.sum(jnp.where(lane == base + b, st, 0.0), axis=1,
+                       keepdims=True)
+
+    return sel(0), sel(BH), sel(2 * BH)
+
+
+def _flash_bwd_dq_kernel(vl_ref, st_ref, q_ref, k_ref, v_ref, do_ref,
+                         dq_ref, acc_ref, *, block_k, num_k_blocks, BH,
+                         c_scale, inv_sqrt_d):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    m, w, delta = _bwd_stats_cols(st_ref, b, BH)
+    q = _sq(q_ref)
+    k = _sq(k_ref)
+    v = _sq(v_ref)
+    do = _sq(do_ref)
+    s2 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * c_scale
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+    p = jnp.where(col < vl_ref[0], jnp.exp2(s2 - m) * w, 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dl = p * (dp - delta)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        dl.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_k_blocks - 1)
+    def _finish():
+        dq_ref[...] = (acc_ref[:] * inv_sqrt_d).astype(dq_ref.dtype) \
+            .reshape(dq_ref.shape)
+
+
+def _flash_bwd_dkv_kernel(vl_ref, st_ref, q_ref, k_ref, v_ref, do_ref,
+                          dk_ref, dv_ref, acck_ref, accv_ref, *, block_k,
+                          num_q_blocks, BH, c_scale, inv_sqrt_d):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acck_ref[:] = jnp.zeros_like(acck_ref)
+        accv_ref[:] = jnp.zeros_like(accv_ref)
+
+    m, w, delta = _bwd_stats_cols(st_ref, b, BH)
+    q = _sq(q_ref)
+    k = _sq(k_ref)
+    v = _sq(v_ref)
+    do = _sq(do_ref)
+    s2 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * c_scale
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+    p = jnp.where(col < vl_ref[0], jnp.exp2(s2 - m) * w, 0.0)
+    accv_ref[:] = accv_ref[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dl = (p * (dp - delta)).astype(q.dtype)
+    acck_ref[:] = acck_ref[:] + jax.lax.dot_general(
+        dl, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == num_q_blocks - 1)
+    def _finish():
+        dk_ref[...] = (acck_ref[:] * inv_sqrt_d).astype(dk_ref.dtype) \
+            .reshape(dk_ref.shape)
+        dv_ref[...] = accv_ref[:].astype(dv_ref.dtype).reshape(dv_ref.shape)
+
+
+def _flash_bwd(q, k, v, out, m, l, do, valid_len, block_q, block_k,
+               interpret):
+    """Backward pass: q/k/v/out/do (B, H, N, D) + fwd stats -> dq, dk, dv."""
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    BH = B * H
+    c_scale = math.log2(math.e) / math.sqrt(D)
+    inv_sqrt_d = 1.0 / math.sqrt(D)
+
+    pad_q = (-Nq) % block_q
+    pad_k = (-Nk) % block_k
+    nq_b = (Nq + pad_q) // block_q
+    nk_b = (Nk + pad_k) // block_k
+
+    def pad3(x, n):
+        x = x.reshape(BH, x.shape[2], D)
+        return jnp.pad(x, ((0, 0), (0, n), (0, 0))) if n else x
+
+    qf, dof = pad3(q, pad_q), pad3(do, pad_q)
+    kf, vf = pad3(k, pad_k), pad3(v, pad_k)
+
+    # Per-row stats: m, w = 1/l, delta = rowsum(do * out). Padded q rows
+    # carry w = 0, zeroing their p rows (and thus their dk/dv terms).
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                              # (B, H, Nq)
+    w = 1.0 / jnp.maximum(l, 1e-30)
+    st = jnp.concatenate([m.reshape(BH, Nq), w.reshape(BH, Nq),
+                          delta.reshape(BH, Nq)], axis=0)  # (3BH, Nq)
+    st = jnp.pad(st, ((0, 0), (0, pad_q))).T              # (Nq_pad, 3BH)
+
+    vl = jnp.minimum(
+        jnp.asarray(Nk if valid_len is None else valid_len,
+                    jnp.int32), Nk).reshape(1)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    q_spec3 = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))
+    k_spec3 = pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0))
+    st_specq = pl.BlockSpec((block_q, 3 * BH), lambda b, i, j: (i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k,
+                          num_k_blocks=nk_b, BH=BH, c_scale=c_scale,
+                          inv_sqrt_d=inv_sqrt_d),
+        grid=(BH, nq_b, nk_b),
+        in_specs=[smem, st_specq, q_spec3, k_spec3, k_spec3, q_spec3],
+        out_specs=q_spec3,
+        out_shape=jax.ShapeDtypeStruct((BH, Nq + pad_q, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(vl, st, qf, kf, vf, dof)
+
+    # dkv sweeps q blocks in the INNER grid axis (accumulators per k block).
+    q_speckv = pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0))
+    k_speckv = pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0))
+    st_speckv = pl.BlockSpec((block_q, 3 * BH), lambda b, j, i: (i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_k=block_k,
+                          num_q_blocks=nq_b, BH=BH, c_scale=c_scale,
+                          inv_sqrt_d=inv_sqrt_d),
+        grid=(BH, nk_b, nq_b),
+        in_specs=[smem, st_speckv, q_speckv, k_speckv, k_speckv, q_speckv],
+        out_specs=[k_speckv, k_speckv],
+        out_shape=[jax.ShapeDtypeStruct((BH, Nk + pad_k, D), k.dtype),
+                   jax.ShapeDtypeStruct((BH, Nk + pad_k, D), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
+                        pltpu.VMEM((block_k, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(vl, st, qf, kf, vf, dof)
+
+    def unpad(x, n, npad):
+        return x[:, :n].reshape(B, H, n, D)
+
+    return unpad(dq, Nq, pad_q), unpad(dk, Nk, pad_k), unpad(dv, Nk, pad_k)
+
+
+def flash_attention_grad(q, k, v, valid_len=None, softmax="online",
+                         block_q=1024, block_k=1024, interpret=False):
+    """Differentiable flash attention for the training path.
+
+    q, k, v: (B, H, N, D), ALREADY roped/LN'd (those stay outside so XLA
+    autodiffs them); returns (B, H, Nq, D). The softmax scale 1/sqrt(D) is
+    applied internally (like the other impls). `valid_len` masks key
+    suffixes exactly as in inference. No kv_bias/int8/merging - this is
+    the exact-attention training configuration.
+    """
+
+    @jax.custom_vjp
+    def _f(q, k, v):
+        return _fwd(q, k, v)[0]
+
+    def _fwd(q, k, v):
+        out, m, l = flash_attention(
+            q, k, v, valid_len=valid_len, block_q=block_q,
+            block_k=max(block_k, 2048), interpret=interpret,
+            softmax=softmax, return_stats=True)
+        return out, (q, k, v, out, m, l)
+
+    def _bwd(res, do):
+        q, k, v, out, m, l = res
+        return _flash_bwd(q, k, v, out, m, l, do, valid_len,
+                          block_q, block_k, interpret)
+
+    _f.defvjp(_fwd, _bwd)
+    return _f(q, k, v)

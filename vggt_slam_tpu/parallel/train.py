@@ -55,8 +55,8 @@ def make_train_step(cfg: VGGTConfig, mesh, params, optimizer=None):
     }
 
     opt_state = optimizer.init(params)
-    # Optimizer moments are replicated for now; sharding them like params is
-    # a later optimization (ZeRO-style) once multi-chip training matters.
+    # Optimizer moments are replicated here; make_zero1_train_step below is
+    # the dp-sharded-moments (ZeRO-1) variant for memory-bound configs.
     o_shard = jax.tree.map(lambda _: r_shard, opt_state)
 
     def step(params, opt_state, batch):

@@ -36,9 +36,9 @@ def build_cfg(model_size: str, on_tpu: bool):
     from vggt_slam_tpu.models.vggt.config import VGGTConfig
 
     kw = dict(
-        # The Pallas flash kernel is forward-only; training differentiates
-        # through the chunked XLA path (ops/attention.py module docstring).
-        attn_impl="chunked",
+        # Differentiable flash attention (custom VJP + Pallas backward
+        # kernels) on TPU; CPU differentiates through the chunked XLA path.
+        attn_impl="flash_grad" if on_tpu else "chunked",
         enable_point_head=False,     # eval CLI unprojects from depth
         global_kv_stride=1,          # train with exact attention
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
