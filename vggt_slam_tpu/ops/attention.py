@@ -251,6 +251,15 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
             qw = _sq(q_ref)
             kw = _sq(k_ref)
         vw = _sq(v_ref)                              # (block_k, hp*D)
+        if apply_mask:
+            # Zero v rows past valid_len (straddle block only): the caller
+            # never pads k/v, so the edge block's masked read can return
+            # non-finite garbage there, and 0 * NaN is still NaN in the AV
+            # matmul. One select per straddle tile - fully-valid blocks pay
+            # nothing.
+            vrow = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, vw.shape, 0)
+            vw = jnp.where(vrow < vl_ref[0], vw, 0.0)
 
         accw = acc_ref[:]
         acc_parts = []
@@ -394,6 +403,12 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias,
     qw = _sq(q_ref)                              # (block_q, hp*D)
     kw = _sq(k_ref)                              # (Nk_pad, hp*D)
     vw = _sq(v_ref)
+    if masked:
+        # Zero v rows past valid_len: the caller never pads k/v (the edge
+        # block is a masked read), so those rows can hold non-finite
+        # garbage, and a 0 attention weight times a NaN v is still NaN.
+        vrow = jax.lax.broadcasted_iota(jnp.int32, vw.shape, 0)
+        vw = jnp.where(vrow < vl_ref[0], vw, 0.0)
     D = qw.shape[-1] // hp
     outs = []
     ms = []
@@ -600,19 +615,22 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         ln_ops = [jnp.stack([t.astype(jnp.float32).reshape(D)
                              for t in qk_ln])]
 
+    # Non-divisible N is served by Mosaic's masked edge blocks - q/k/v are
+    # NEVER explicitly padded (a pad+slice pair costs a full HBM round trip
+    # of each ~70 MB operand per attention call; measured ~1-2 ms/call at
+    # the frame-attention shape). Garbage in the edge block is contained:
+    # out-of-range q rows produce garbage rows the masked store discards,
+    # out-of-range k columns are where-masked in the kernel (vl <= Nk), and
+    # out-of-range v rows are zeroed in-kernel before the AV matmul (a 0
+    # softmax weight times a non-finite garbage v would still be NaN).
     pad_q = (-Nq) % block_q
     pad_k = (-Nk) % block_k
-
-    def pad_seq(x, n):
-        cfgpad = [(0, 0)] * x.ndim
-        cfgpad[seq_ax] = (0, n)
-        return jnp.pad(x, cfgpad) if n else x
 
     if return_stats and layout == "nhd":
         raise NotImplementedError("return_stats requires layout='bhnd'")
 
     if layout == "packed":
-        qf, kf, vf = pad_seq(q, pad_q), pad_seq(k, pad_k), pad_seq(v, pad_k)
+        qf, kf, vf = q, k, v
         PPB = H // hp  # head-group blocks per batch
         lanes = hp * D
 
@@ -634,14 +652,14 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                     pl.BlockSpec((1, block_k, lanes), k_map),
                     pl.BlockSpec((1, block_k, lanes), k_map)]
 
-        out_shape = jax.ShapeDtypeStruct((B, qf.shape[1], H * D), q.dtype)
+        out_shape = jax.ShapeDtypeStruct((B, Nq, H * D), q.dtype)
         out_spec2 = pl.BlockSpec((1, block_q, lanes), q_map2)
         out_spec3 = pl.BlockSpec((1, block_q, lanes), q_map3)
 
         def unpack(out):
-            return out[:, :Nq] if pad_q else out
+            return out
     elif layout == "nhd":
-        qf, kf, vf = pad_seq(q, pad_q), pad_seq(k, pad_k), pad_seq(v, pad_k)
+        qf, kf, vf = q, k, v
 
         def q_map2(b, i):
             return (b // H, i, b % H, 0)
@@ -661,17 +679,16 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                     pl.BlockSpec((1, block_k, 1, D), k_map),
                     pl.BlockSpec((1, block_k, 1, D), k_map)]
 
-        out_shape = jax.ShapeDtypeStruct(
-            (B, qf.shape[1], H, D), q.dtype)
+        out_shape = jax.ShapeDtypeStruct((B, Nq, H, D), q.dtype)
         out_spec2 = pl.BlockSpec((1, block_q, 1, D), q_map2)
         out_spec3 = pl.BlockSpec((1, block_q, 1, D), q_map3)
 
         def unpack(out):
-            return out[:, :Nq] if pad_q else out
+            return out
     else:
-        qf = pad_seq(q, pad_q).reshape(B * H, Nq + pad_q, D)
-        kf = pad_seq(k, pad_k).reshape(B * H, Nk + pad_k, D)
-        vf = pad_seq(v, pad_k).reshape(B * H, Nk + pad_k, D)
+        qf = q.reshape(B * H, Nq, D)
+        kf = k.reshape(B * H, Nk, D)
+        vf = v.reshape(B * H, Nk, D)
 
         def qkv_specs(bmaps):
             q_map, k_map = bmaps
@@ -679,14 +696,13 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
                     pl.BlockSpec((1, block_k, D), k_map),
                     pl.BlockSpec((1, block_k, D), k_map)]
 
-        out_shape = jax.ShapeDtypeStruct((B * H, qf.shape[1], D), q.dtype)
+        out_shape = jax.ShapeDtypeStruct((B * H, Nq, D), q.dtype)
         out_spec2 = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0))
         out_spec3 = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))
         if return_stats:
             # Per-row softmax stats as extra outputs (f32, lane-width 128
             # tiles; only column 0 is meaningful).
-            st_shape = jax.ShapeDtypeStruct((B * H, qf.shape[1], 128),
-                                            jnp.float32)
+            st_shape = jax.ShapeDtypeStruct((B * H, Nq, 128), jnp.float32)
             st_spec2 = pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0))
             st_spec3 = pl.BlockSpec((1, block_q, 128),
                                     lambda b, i, j: (b, i, 0))
@@ -696,12 +712,12 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
 
             def unpack(outs):
                 o, m, l = outs
-                return (o[:, :Nq].reshape(B, H, Nq, D),
-                        m[:, :Nq, 0].reshape(B, H, Nq),
-                        l[:, :Nq, 0].reshape(B, H, Nq))
+                return (o.reshape(B, H, Nq, D),
+                        m[:, :, 0].reshape(B, H, Nq),
+                        l[:, :, 0].reshape(B, H, Nq))
         else:
             def unpack(out):
-                return out[:, :Nq].reshape(B, H, Nq, D)
+                return out.reshape(B, H, Nq, D)
 
         q_map2 = lambda b, i: (b, i, 0)            # noqa: E731
         k_map2 = lambda b, i: (b, 0, 0)            # noqa: E731
@@ -731,8 +747,6 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         # Per-key logit bias in exp2 domain (log2(e) folded like the scale):
         # the kernel's exp2(s + bias2) equals exp(logits + kv_bias).
         bias2 = (kv_bias.astype(jnp.float32) * math.log2(math.e))
-        if pad_k:
-            bias2 = jnp.pad(bias2, (0, pad_k))
         bias_ops = [bias2.reshape(1, -1)]
         bias_specs2 = [pl.BlockSpec((1, block_k), lambda b, i: (0, 0))]
         bias_specs3 = [pl.BlockSpec((1, block_k), lambda b, i, j: (0, j))]
@@ -741,8 +755,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     rope_specs2 = []
     rope_specs3 = []
     if has_rope:
-        Cq, Sq = _rope_tables(*rope_q, 1.0 if use_int8 else c_scale, pad_q)
-        Ck, Sk = _rope_tables(*rope_k, 1.0, pad_k)
+        Cq, Sq = _rope_tables(*rope_q, 1.0 if use_int8 else c_scale, 0)
+        Ck, Sk = _rope_tables(*rope_k, 1.0, 0)
         rope_ops = [Cq, Sq, Ck, Sk]
         rq_spec2 = pl.BlockSpec((block_q, D), lambda b, i: (i, 0))
         rk_spec2 = pl.BlockSpec((block_k, D), lambda b, i: (0, 0))
