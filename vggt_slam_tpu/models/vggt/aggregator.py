@@ -145,7 +145,10 @@ class Aggregator(nn.Module):
                    ).astype(jnp.float32)                       # (S-1, Pd, Ps)
             cnt = jnp.sum(A_t, axis=2) + 1.0                   # (S-1, Pd)
             M = jnp.zeros((S - 1, Pd, P), jnp.float32)
-            M = M.at[:, :, dst_patch].set(jnp.eye(Pd))
+            # Explicit dtype: under leaked jax_enable_x64 (several test
+            # modules flip it process-wide) a default-dtype eye is f64 and
+            # the scatter into f32 M becomes an error in future JAX.
+            M = M.at[:, :, dst_patch].set(jnp.eye(Pd, dtype=jnp.float32))
             M = M.at[:, :, src_patch].set(A_t)
             merge_state["M"] = (M * (1.0 / cnt)[..., None]).astype(cfg.dtype)
             # Proportional-attention bias, frame-major kv layout: zeros for
