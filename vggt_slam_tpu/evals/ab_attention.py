@@ -44,6 +44,15 @@ CONFIGS = [
     ("merged_static", 4, "static"),
     ("merged8_online", 8, "online"),
     ("merged8_static", 8, "static"),
+    # stride-16 sensitivity probes (not the shipped default; run via
+    # --configs merged16_online merged16_static to a separate artifact).
+    # CAUTION: at the small-model eval shapes this configuration crashed
+    # the axon TPU worker reproducibly (ARCHITECTURE.md section 9,
+    # "Global K/V merging at stride 16") - the flagship bench shape runs
+    # clean, so the hazard is tile-geometry-specific. Expect a wedged
+    # worker (~15-40 min) if it reproduces on your runtime.
+    ("merged16_online", 16, "online"),
+    ("merged16_static", 16, "static"),
 ]
 
 # Sequence seeds: the trainer's stream uses seeds 1..steps (seed 0 run)
