@@ -229,8 +229,9 @@ def main():
 
     # Keyframe disparity gate - runs once per INPUT frame in the CLI loop
     # (more often than the per-submap forward). Compare the host cv2 LK
-    # path against the jitted on-device tracker (slam/keyframe_jax), which
-    # --keyframe_backend auto selects on TPU.
+    # path against the jitted on-device tracker (slam/keyframe_jax). The
+    # measured ~200x gap (the LK point loop is gather-bound on TPU) is why
+    # --keyframe_backend auto resolves to cv2; "jax" is an explicit opt-in.
     import cv2
     from vggt_slam_tpu.slam.keyframe import FrameTracker
     coarse = rng.uniform(40, 220, (24, 32)).astype(np.float32)

@@ -41,7 +41,8 @@ parser.add_argument("--keyframe_backend", default="auto",
                     choices=["auto", "cv2", "jax"],
                     help="keyframe disparity gate: host OpenCV LK or the "
                          "jitted on-device tracker (slam/keyframe_jax). "
-                         "auto = jax on TPU, cv2 elsewhere")
+                         "auto = cv2 (the gate is gather-bound; measured "
+                         "~200x faster on host, see bench.py gate rows)")
 parser.add_argument("--use_point_map", action="store_true")
 parser.add_argument("--conf_threshold", type=float, default=25.0)
 parser.add_argument("--vis_stride", type=int, default=1)

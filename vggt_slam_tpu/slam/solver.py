@@ -54,11 +54,18 @@ class Solver:
         self.viewer = viewer
 
         if keyframe_backend == "auto":
-            # On TPU the jitted Shi-Tomasi/LK gate (keyframe_jax) beats the
-            # host cv2 path on this 1-core host; everywhere else (CPU
-            # meshes, tests) cv2 wins and is reference-exact.
-            keyframe_backend = ("jax" if jax.default_backend() == "tpu"
-                                else "cv2")
+            # Host cv2 everywhere: the gate is 1000 independent 21x21 LK
+            # solves - gather-bound, a shape TPUs are worst at. Measured
+            # with true scalar-readback syncs (bench.py gate rows): cv2
+            # 9-43 ms/frame on a 1-core host vs 1935 ms/frame for the
+            # jitted tracker ON DEVICE-RESIDENT inputs (the kernel, not
+            # the tunnel, is the cost - per-point dynamic gathers in
+            # lk_track). An earlier "jax wins on TPU" note here was timed
+            # through axon's early-returning block_until_ready and was
+            # wrong; it silently made the device gate dominate eval wall
+            # time (~2 s/frame). keyframe_backend="jax" remains an
+            # explicit opt-in for gather-efficient backends.
+            keyframe_backend = "cv2"
         self.flow_tracker = FrameTracker(backend=keyframe_backend)
         self.map = GraphMap()
         self.graph = PoseGraph("se3" if use_sim3 else "sl4")
