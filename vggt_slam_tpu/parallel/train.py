@@ -79,84 +79,89 @@ def make_zero1_train_step(cfg: VGGTConfig, mesh, params, optimizer=None):
     """ZeRO-1 variant of make_train_step: optimizer state sharded over dp.
 
     Params stay replicated for the forward/backward (grads reduce over dp
-    as usual), but the AdamW moments - 2x the params in f32, the dominant
-    training-memory term - live dp-sharded: all params flatten into one
-    1-D vector padded to a dp multiple, each dp shard owns 1/dp of it, and
-    the update runs inside shard_map on the local slice only (optimizer
-    math is elementwise, so flat-vector AdamW is exactly tree AdamW).
-    The updated param vector all-gathers back over ICI (out_spec P() with
-    an explicit all_gather), i.e. the classic reduce-scatter/all-gather
-    data-parallel update cycle. Trajectory parity with the replicated
-    step (up to collective reduction-order noise) is asserted in
-    tests/test_parallel.py::TestZero1.
+    as usual; the model's cross-frame global attention rules out putting
+    the forward itself in shard_map), but the AdamW moments - 2x the
+    params in f32, the dominant training-memory term - live dp-sharded,
+    PER LEAF: each param leaf is viewed as a flat vector padded to a dp
+    multiple, each dp rank owns its 1/dp slice, and the update runs
+    inside shard_map on local slices only (optimizer math is elementwise,
+    so sliced AdamW is exactly tree AdamW). Updated slices all-gather
+    back over ICI per leaf - the classic reduce-scatter/all-gather update
+    cycle. Slicing leaf-by-leaf INSIDE the shard_map body means the
+    largest f32 transient any device holds is one leaf (~16 MB at 1B
+    scale), not a concatenated full-model vector (~4.7 GB) as an earlier
+    flat-vector design materialized. Trajectory parity with the
+    replicated step (up to collective reduction-order noise) is asserted
+    in tests/test_parallel.py::TestZero1.
     """
     if optimizer is None:
         optimizer = optax.adamw(1e-4, weight_decay=0.05)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     dp = mesh.shape["dp"]
-    leaves, treedef = jax.tree.flatten(params)
-    sizes = [int(l.size) for l in leaves]
-    shapes = [l.shape for l in leaves]
-    dtypes = [l.dtype for l in leaves]
-    total = sum(sizes)
-    padded = -(-total // dp) * dp
 
-    def flatten(tree):
-        ls = jax.tree.leaves(tree)
-        vec = jnp.concatenate([l.astype(jnp.float32).ravel() for l in ls])
-        return jnp.pad(vec, (0, padded - total))
+    def _slice_leaf(leaf, r):
+        # rank r's 1/dp slice of the leaf viewed as a padded flat vector.
+        v = leaf.astype(jnp.float32).ravel()
+        v = jnp.pad(v, (0, (-v.size) % dp)).reshape(dp, -1)
+        return jax.lax.dynamic_index_in_dim(v, r, 0, keepdims=False)
 
-    def unflatten(vec):
-        out, off = [], 0
-        for sz, shp, dt in zip(sizes, shapes, dtypes):
-            out.append(vec[off:off + sz].reshape(shp).astype(dt))
-            off += sz
-        return jax.tree.unflatten(treedef, out)
+    def _gather_leaf(v_local, ref):
+        full = jax.lax.all_gather(v_local, "dp", tiled=True)
+        return full[:ref.size].reshape(ref.shape).astype(ref.dtype)
 
-    pvec0 = flatten(params)
-    r_shard = replicated(mesh)
     # Moment vectors shard over dp; scalar state (the AdamW step count)
     # stays replicated.
-    local_sd = jax.eval_shape(optimizer.init,
-                              jnp.zeros((padded // dp,), jnp.float32))
+    local_p_sd = jax.tree.map(
+        lambda l: jax.ShapeDtypeStruct((-(-l.size // dp),), jnp.float32),
+        params)
+    local_o_sd = jax.eval_shape(optimizer.init, local_p_sd)
     o_spec = jax.tree.map(lambda x: P("dp") if x.ndim >= 1 else P(),
-                          local_sd)
+                          local_o_sd)
     o_shard = jax.tree.map(lambda s: NamedSharding(mesh, s), o_spec,
                            is_leaf=lambda x: isinstance(x, P))
-    # Initialize the sharded moments: optimizer.init on the LOCAL slice in
-    # shard_map so no device ever materializes full-size moments.
-    opt_state = jax.jit(
-        jax.shard_map(optimizer.init, mesh=mesh, in_specs=P("dp"),
-                      out_specs=o_spec, check_vma=False),
-        out_shardings=o_shard)(pvec0)
 
+    def local_init(params_rep):
+        r = jax.lax.axis_index("dp")
+        return optimizer.init(
+            jax.tree.map(lambda l: _slice_leaf(l, r), params_rep))
+
+    # Initialize the sharded moments: optimizer.init on the LOCAL slice in
+    # shard_map so no device ever materializes full-size f32 moments.
+    opt_state = jax.jit(
+        jax.shard_map(local_init, mesh=mesh, in_specs=(P(),),
+                      out_specs=o_spec, check_vma=False),
+        out_shardings=o_shard)(params)
+
+    r_shard = replicated(mesh)
     p_shard_tree = jax.tree.map(lambda _: r_shard, params)
     f_shard = frame_sharding(mesh)
     batch_shardings = {"images": f_shard, "pose_enc_gt": f_shard,
                        "depth_gt": f_shard, "points_gt": f_shard}
 
-    def local_update(pvec, gvec, opt_local):
-        # runs in shard_map: each dp shard updates its 1/dp slice.
-        updates, opt_local = optimizer.update(gvec, opt_local, pvec)
-        pvec = optax.apply_updates(pvec, updates)
-        return jax.lax.all_gather(pvec, "dp", tiled=True), opt_local
+    def local_update(params_rep, grads_rep, opt_local):
+        # runs in shard_map: each dp rank slices and updates its 1/dp of
+        # every leaf, then all-gathers the updated slices leaf-by-leaf.
+        r = jax.lax.axis_index("dp")
+        p_loc = jax.tree.map(lambda l: _slice_leaf(l, r), params_rep)
+        g_loc = jax.tree.map(lambda l: _slice_leaf(l, r), grads_rep)
+        updates, opt_local = optimizer.update(g_loc, opt_local, p_loc)
+        p_loc = optax.apply_updates(p_loc, updates)
+        return jax.tree.map(_gather_leaf, p_loc, params_rep), opt_local
 
     upd = jax.shard_map(local_update, mesh=mesh,
-                        in_specs=(P("dp"), P("dp"), o_spec),
+                        in_specs=(P(), P(), o_spec),
                         out_specs=(P(), o_spec), check_vma=False)
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(
             lambda q: vggt_loss(cfg, q, batch))(params)
-        # Pin the grad tree replicated BEFORE the flatten: the flat
-        # vector's P("dp") shard_map in_spec otherwise propagates a
-        # dp-sharded layout backwards through the concatenate into the
-        # backward graph, where XLA resolves the conflict with an
-        # involuntary full rematerialization of small activations.
-        grads = jax.lax.with_sharding_constraint(grads, p_shard_tree)
-        pvec, opt_state = upd(flatten(params), flatten(grads), opt_state)
-        return unflatten(pvec), opt_state, loss
+        # The P() in_spec pins the grad tree replicated at the shard_map
+        # boundary (no dp-sharded layout can propagate backwards into the
+        # autodiff graph, which previously triggered involuntary full
+        # rematerialization of small activations under a P("dp") spec).
+        new_params, opt_state = upd(params, grads, opt_state)
+        return new_params, opt_state, loss
 
     jitted = jax.jit(step,
                      in_shardings=(p_shard_tree, o_shard, batch_shardings),
