@@ -129,8 +129,35 @@ def main():
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--out", default="evals/results/mask_quality.csv")
+    p.add_argument("--sam2_checkpoint", default=None,
+                   help="also score the SAM2-equivalent AMG "
+                        "(models/sam2) loaded from this checkpoint; "
+                        "pass 'random' for the weight-free pipeline "
+                        "baseline (expected to lose to felzenszwalb)")
+    p.add_argument("--sam2_config", default="base_plus",
+                   choices=["base_plus", "tiny_test"],
+                   help="SAM2 config for --sam2_checkpoint (tiny_test "
+                        "keeps a CPU smoke run cheap)")
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="force the jax CPU backend for the sam2 proposer "
+                        "(the JAX_PLATFORMS env var is ignored by the "
+                        "axon TPU plugin; see CLAUDE.md)")
     args = p.parse_args()
-    rows = evaluate_proposers(args.scenes, (args.height, args.width))
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    proposers = default_proposers()
+    if args.sam2_checkpoint:
+        from vggt_slam_tpu.models.sam2 import SAM2Config
+        from vggt_slam_tpu.semantic.sam2_amg import make_sam2_mask_generator
+        ckpt = (None if args.sam2_checkpoint == "random"
+                else args.sam2_checkpoint)
+        cfg = getattr(SAM2Config, args.sam2_config)()
+        proposers["sam2" + ("_random" if ckpt is None else "")] = \
+            make_sam2_mask_generator(checkpoint=ckpt, cfg=cfg)
+    rows = evaluate_proposers(args.scenes, (args.height, args.width),
+                              proposers=proposers)
     for r in rows:
         print(r)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

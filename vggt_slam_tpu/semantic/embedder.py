@@ -354,6 +354,15 @@ def main():
     p.add_argument("--clip_model_dir", default=None,
                    help="local transformers CLIP/SigLIP checkpoint; "
                         "fallback color-hash encoder if omitted")
+    p.add_argument("--masker", default="auto",
+                   choices=["auto", "felzenszwalb", "grid", "sam2"],
+                   help="mask proposer: auto = felzenszwalb when the "
+                        "native segmenter builds, else grid; sam2 = the "
+                        "SAM2-equivalent AMG (models/sam2; needs "
+                        "--sam2_checkpoint for real masks)")
+    p.add_argument("--sam2_checkpoint", default=None,
+                   help="public sam2.1_hiera_*.pt or converted .npz for "
+                        "--masker sam2")
     p.add_argument("--target_size", type=int, default=518)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--shard_index", type=int, default=0)
@@ -379,7 +388,17 @@ def main():
     crop_encoder = text_encoder = None
     if args.clip_model_dir:
         crop_encoder, text_encoder = make_hf_clip_encoder(args.clip_model_dir)
-    emb = SemanticEmbedder(crop_encoder=crop_encoder,
+    mask_generator = None
+    if args.masker == "grid":
+        mask_generator = grid_mask_generator
+    elif args.masker == "felzenszwalb":
+        mask_generator = felzenszwalb_mask_generator
+    elif args.masker == "sam2":
+        from vggt_slam_tpu.semantic.sam2_amg import make_sam2_mask_generator
+        mask_generator = make_sam2_mask_generator(
+            checkpoint=args.sam2_checkpoint)
+    emb = SemanticEmbedder(mask_generator=mask_generator,
+                           crop_encoder=crop_encoder,
                            text_encoder=text_encoder,
                            target_hw=(args.target_size, args.target_size),
                            bbox_expand_pct=args.bbox_expand_pct)
