@@ -34,19 +34,20 @@ import numpy as np
 class SearchValidityEvaluator:
     def __init__(self, voxel_dir: str, queries: Dict[str, list],
                  tolerance_ns: float = 5e7, clip_model_dir: str | None = None,
-                 top_k: int = 1):
+                 top_k: int = 1, clip_backend: str = "auto"):
         from vggt_slam_tpu.semantic.voxel_map import SemanticVoxelMap
 
         self.vm = SemanticVoxelMap.load_from_directory(voxel_dir)
         self.queries = queries
         self.tolerance_ns = float(tolerance_ns)
         self.clip_model_dir = clip_model_dir
+        self.clip_backend = clip_backend
         self.top_k = top_k
 
     def _embed(self, text: str) -> np.ndarray:
         from vggt_slam_tpu.tools.query_voxelmap import text_embedding
         return text_embedding(text, self.vm.get_features().shape[-1],
-                              self.clip_model_dir)
+                              self.clip_model_dir, self.clip_backend)
 
     @staticmethod
     def _timestamp_of(frame_name: str) -> float:

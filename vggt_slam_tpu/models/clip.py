@@ -1,0 +1,466 @@
+"""CLIP image/text encoders in JAX (flax).
+
+The reference's semantic pipeline embeds SAM2 mask crops and text queries
+with Hugging Face CLIP (`openai/clip-vit-base-patch32` by default,
+reference semantic_embedder.py:48,69-97 and query_voxelmap.py:24-31).
+This module is the TPU-native counterpart: the full dual-tower CLIP in
+flax, so crop/text embedding runs batched on device instead of through
+host torch. Weight-gated posture matches VGGT/SALAD/SAM2: the
+architecture mirrors the released `transformers.CLIPModel` layout so its
+checkpoints convert 1:1 (`convert_torch_state_dict`), coverage is
+asserted against the full-size key/shape manifest
+(tests/test_clip.py + tests/data/manifest_clip_vit_b32.json), and
+numerics are parity-tested against the transformers implementation.
+
+Model semantics replicated from the released CLIP:
+
+  * vision tower: non-overlapping patch conv (no bias), learned class
+    embedding prepended, learned absolute position embeddings,
+    pre-LayerNorm, `layers` pre-LN transformer blocks, post-LayerNorm on
+    the CLS token only, then a bias-free projection to the shared space.
+  * text tower: token + position embeddings, causally-masked pre-LN
+    blocks, final LayerNorm, pooled at the end-of-text token's position
+    (the argmax token id - EOT has the largest id in the CLIP vocab),
+    bias-free projection.
+  * activation is quick-gelu `x * sigmoid(1.702 x)`; LayerNorm eps 1e-5;
+    attention scale `head_dim**-0.5` on q.
+
+Sequence lengths are tiny (50 vision / 77 text tokens), so attention is a
+plain fused SDPA - XLA keeps these shapes on the MXU without a custom
+kernel; batching over crops/queries is the TPU lever here.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+
+# CLIP's image normalization constants (transformers CLIPImageProcessor).
+IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTowerConfig:
+    width: int
+    layers: int
+    heads: int
+    mlp_dim: int
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    vision_mlp: int = 3072
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    text_mlp: int = 2048
+    vocab_size: int = 49408
+    context_length: int = 77
+    projection_dim: int = 512
+    ln_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def base_patch32(**kw) -> "CLIPConfig":
+        """openai/clip-vit-base-patch32 (the reference's default)."""
+        return CLIPConfig(**kw)
+
+    @staticmethod
+    def base_patch16(**kw) -> "CLIPConfig":
+        return CLIPConfig(patch_size=16, **kw)
+
+    @staticmethod
+    def large_patch14(**kw) -> "CLIPConfig":
+        return CLIPConfig(patch_size=14, vision_width=1024, vision_layers=24,
+                          vision_heads=16, vision_mlp=4096, text_width=768,
+                          text_layers=12, text_heads=12, text_mlp=3072,
+                          projection_dim=768, **kw)
+
+    @staticmethod
+    def from_hf_dir(model_dir: str, **kw) -> "CLIPConfig":
+        """Build the config from a local HF checkpoint dir's config.json."""
+        import json
+        import os
+        with open(os.path.join(model_dir, "config.json")) as f:
+            hf = json.load(f)
+        if hf.get("model_type") != "clip":
+            raise ValueError(f"{model_dir} is model_type="
+                             f"{hf.get('model_type')!r}, not a CLIP "
+                             "checkpoint (use the hf backend for SigLIP)")
+        v, t = hf["vision_config"], hf["text_config"]
+        return CLIPConfig(
+            image_size=v.get("image_size", 224),
+            patch_size=v.get("patch_size", 32),
+            vision_width=v.get("hidden_size", 768),
+            vision_layers=v.get("num_hidden_layers", 12),
+            vision_heads=v.get("num_attention_heads", 12),
+            vision_mlp=v.get("intermediate_size", 3072),
+            text_width=t.get("hidden_size", 512),
+            text_layers=t.get("num_hidden_layers", 12),
+            text_heads=t.get("num_attention_heads", 8),
+            text_mlp=t.get("intermediate_size", 2048),
+            vocab_size=t.get("vocab_size", 49408),
+            context_length=t.get("max_position_embeddings", 77),
+            projection_dim=hf.get("projection_dim", 512),
+            **kw)
+
+    @staticmethod
+    def tiny_test(**kw) -> "CLIPConfig":
+        """Small config for torch-parity tests (not a released model)."""
+        base = dict(image_size=32, patch_size=8, vision_width=24,
+                    vision_layers=2, vision_heads=2, vision_mlp=48,
+                    text_width=16, text_layers=2, text_heads=2, text_mlp=32,
+                    vocab_size=64, context_length=12, projection_dim=20)
+        base.update(kw)
+        return CLIPConfig(**base)
+
+    @property
+    def vision_grid(self) -> int:
+        return self.image_size // self.patch_size
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPAttention(nn.Module):
+    """Multi-head self-attention with HF CLIP's separate q/k/v/out naming."""
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, causal: bool) -> jax.Array:
+        b, n, _ = x.shape
+        hd = self.dim // self.heads
+        dense = lambda name: nn.Dense(self.dim, dtype=self.dtype, name=name)
+        split = lambda t: t.reshape(b, n, self.heads, hd).transpose(0, 2, 1, 3)
+        q = split(dense("q_proj")(x)) * (hd ** -0.5)
+        k = split(dense("k_proj")(x))
+        v = split(dense("v_proj")(x))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        if causal:
+            mask = jnp.tril(jnp.ones((n, n), dtype=bool))
+            logits = jnp.where(mask[None, None], logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return dense("out_proj")(o)
+
+
+class CLIPBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_dim: int
+    ln_eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, causal: bool) -> jax.Array:
+        ln = lambda name: nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                                       name=name)
+        x = x + CLIPAttention(self.dim, self.heads, self.dtype,
+                              name="attn")(ln("ln1")(x).astype(self.dtype),
+                                           causal)
+        h = ln("ln2")(x).astype(self.dtype)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class CLIPVisionTower(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """(B, H, W, 3) CLIP-normalized images -> (B, width) pooled CLS."""
+        cfg = self.cfg
+        p = cfg.patch_size
+        x = nn.Conv(cfg.vision_width, (p, p), strides=(p, p), use_bias=False,
+                    dtype=cfg.dtype, name="patch_embed")(images)
+        b = x.shape[0]
+        x = x.reshape(b, -1, cfg.vision_width)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (cfg.vision_width,), jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, cfg.vision_width)),
+             x], axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1 + cfg.vision_grid ** 2, cfg.vision_width),
+                         jnp.float32)
+        x = x + pos[None].astype(x.dtype)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                         name="pre_ln")(x).astype(cfg.dtype)
+        for i in range(cfg.vision_layers):
+            x = CLIPBlock(cfg.vision_width, cfg.vision_heads, cfg.vision_mlp,
+                          cfg.ln_eps, cfg.dtype, name=f"block_{i}")(
+                              x, causal=False)
+        cls_tok = x[:, 0]
+        return nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                            name="post_ln")(cls_tok)
+
+
+class CLIPTextTower(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        """(B, L) int token ids -> (B, width) pooled at the EOT position.
+
+        Pooling takes the position of the max token id (EOT carries the
+        largest id in the CLIP vocab; argmax returns its FIRST occurrence,
+        so right-padding with EOT is harmless under the causal mask).
+        """
+        cfg = self.cfg
+        tok = self.param("token_embedding", nn.initializers.normal(0.02),
+                         (cfg.vocab_size, cfg.text_width), jnp.float32)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (cfg.context_length, cfg.text_width), jnp.float32)
+        x = tok[ids].astype(cfg.dtype) + pos[None, :ids.shape[1]].astype(
+            cfg.dtype)
+        for i in range(cfg.text_layers):
+            x = CLIPBlock(cfg.text_width, cfg.text_heads, cfg.text_mlp,
+                          cfg.ln_eps, cfg.dtype, name=f"block_{i}")(
+                              x, causal=True)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                         name="final_ln")(x)
+        eot = jnp.argmax(ids, axis=-1)
+        return jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+
+
+class CLIP(nn.Module):
+    """Dual-tower CLIP. Methods mirror transformers' get_*_features."""
+    cfg: CLIPConfig
+
+    def setup(self):
+        self.vision = CLIPVisionTower(self.cfg, name="vision")
+        self.text = CLIPTextTower(self.cfg, name="text")
+        self.visual_projection = nn.Dense(self.cfg.projection_dim,
+                                          use_bias=False, dtype=self.cfg.dtype,
+                                          name="visual_projection")
+        self.text_projection = nn.Dense(self.cfg.projection_dim,
+                                        use_bias=False, dtype=self.cfg.dtype,
+                                        name="text_projection")
+        self.logit_scale = self.param("logit_scale",
+                                      nn.initializers.constant(2.6592), ())
+
+    def encode_image(self, images: jax.Array, normalize: bool = True):
+        feats = self.visual_projection(
+            self.vision(images).astype(self.cfg.dtype))
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    def encode_text(self, ids: jax.Array, normalize: bool = True):
+        feats = self.text_projection(self.text(ids).astype(self.cfg.dtype))
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    def __call__(self, images: jax.Array, ids: jax.Array):
+        """Returns (logits_per_image, image_feats, text_feats)."""
+        img = self.encode_image(images)
+        txt = self.encode_text(ids)
+        scale = jnp.exp(self.logit_scale).astype(img.dtype)
+        return img @ txt.T * scale, img, txt
+
+
+def preprocess_images(images: np.ndarray, image_size: int) -> jnp.ndarray:
+    """(N, 3, H, W) or (N, H, W, 3) float [0,1] -> CLIP-normalized NHWC.
+
+    Resize-to-square + normalize (the embedder's crops are already square
+    bbox crops, so shortest-edge-resize + center-crop reduces to this).
+    Runs under jit on device; bilinear like the processor's default path.
+    """
+    x = jnp.asarray(images, jnp.float32)
+    if x.ndim != 4:
+        raise ValueError(f"expected (N, ., ., .) images, got {x.shape}")
+    if x.shape[1] == 3 and x.shape[-1] != 3:
+        x = jnp.transpose(x, (0, 2, 3, 1))
+    if x.shape[1:3] != (image_size, image_size):
+        x = jax.image.resize(x, (x.shape[0], image_size, image_size, 3),
+                             method="bilinear")
+    mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGE_STD, jnp.float32)
+    return (x - mean) / std
+
+
+# ----------------------------------------------------------------------------
+# torch (transformers CLIPModel) checkpoint converter
+# ----------------------------------------------------------------------------
+
+def convert_torch_state_dict(sd: dict, cfg: CLIPConfig) -> dict:
+    """Map a transformers `CLIPModel` state dict onto the flax tree.
+
+    Strict on both sides: a missing checkpoint key raises, and any
+    unconsumed checkpoint key other than the known non-parameter buffers
+    (`*.position_ids`, saved by older transformers) raises - converter
+    failure is a named key list, never a silent zero fill.
+    """
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v) for k, v in sd.items()}
+    consumed = set()
+
+    def take(name, shape=None, transpose_linear=False):
+        if name not in sd:
+            raise KeyError(f"CLIP converter: missing checkpoint key {name}")
+        arr = sd[name]
+        consumed.add(name)
+        if transpose_linear:
+            arr = arr.T  # torch Linear (out, in) -> flax kernel (in, out)
+        if shape is not None and tuple(arr.shape) != tuple(shape):
+            raise ValueError(f"CLIP converter: {name} has shape {arr.shape}, "
+                             f"expected {shape}")
+        return arr
+
+    def linear(t_prefix, bias=True):
+        out = {"kernel": take(f"{t_prefix}.weight", transpose_linear=True)}
+        if bias:
+            out["bias"] = take(f"{t_prefix}.bias")
+        return out
+
+    def layernorm(t_prefix):
+        return {"scale": take(f"{t_prefix}.weight"),
+                "bias": take(f"{t_prefix}.bias")}
+
+    def block(t_prefix):
+        return {
+            "ln1": layernorm(f"{t_prefix}.layer_norm1"),
+            "ln2": layernorm(f"{t_prefix}.layer_norm2"),
+            "attn": {p: linear(f"{t_prefix}.self_attn.{p}")
+                     for p in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "fc1": linear(f"{t_prefix}.mlp.fc1"),
+            "fc2": linear(f"{t_prefix}.mlp.fc2"),
+        }
+
+    vt = "vision_model"
+    # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out).
+    patch = take(f"{vt}.embeddings.patch_embedding.weight").transpose(
+        2, 3, 1, 0)
+    vision = {
+        "patch_embed": {"kernel": patch},
+        "class_embedding": take(f"{vt}.embeddings.class_embedding",
+                                (cfg.vision_width,)),
+        "pos_embed": take(f"{vt}.embeddings.position_embedding.weight",
+                          (1 + cfg.vision_grid ** 2, cfg.vision_width)),
+        "pre_ln": layernorm(f"{vt}.pre_layrnorm"),  # [sic] transformers name
+        "post_ln": layernorm(f"{vt}.post_layernorm"),
+    }
+    for i in range(cfg.vision_layers):
+        vision[f"block_{i}"] = block(f"{vt}.encoder.layers.{i}")
+
+    tt = "text_model"
+    text = {
+        "token_embedding": take(f"{tt}.embeddings.token_embedding.weight",
+                                (cfg.vocab_size, cfg.text_width)),
+        "pos_embed": take(f"{tt}.embeddings.position_embedding.weight",
+                          (cfg.context_length, cfg.text_width)),
+        "final_ln": layernorm(f"{tt}.final_layer_norm"),
+    }
+    for i in range(cfg.text_layers):
+        text[f"block_{i}"] = block(f"{tt}.encoder.layers.{i}")
+
+    params = {
+        "vision": vision,
+        "text": text,
+        "visual_projection": linear("visual_projection", bias=False),
+        "text_projection": linear("text_projection", bias=False),
+        "logit_scale": take("logit_scale", ()),
+    }
+    leftover = sorted(k for k in sd
+                      if k not in consumed
+                      and not k.endswith(".position_ids"))
+    if leftover:
+        raise KeyError("CLIP converter: unexpected unconsumed checkpoint "
+                       f"keys: {leftover[:8]}{'...' if len(leftover) > 8 else ''}")
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def make_encoders(model_dir: str, cfg: CLIPConfig | None = None,
+                  max_batch: int = 64, dtype=jnp.float32):
+    """Crop + text encoder callables on the native flax CLIP.
+
+    Drop-in for the embedder's encoder contract
+    (semantic/embedder.py `make_hf_clip_encoder`): `encode_crops` takes
+    (N, 3, H, W) or (N, H, W, 3) float [0,1] arrays, `encode_text` a list
+    of strings; both return L2-normalized (N, projection_dim) numpy.
+
+    TPU posture: both paths are jitted with STATIC shapes - batches pad to
+    power-of-two buckets capped at `max_batch` (one compile per bucket,
+    not per mask count), and larger batches loop over full chunks.
+    """
+    from vggt_slam_tpu.models.clip_tokenizer import CLIPTokenizer
+
+    if cfg is None:
+        cfg = CLIPConfig.from_hf_dir(model_dir, dtype=dtype)
+    model = CLIP(cfg)
+    params = {"params": load_torch_checkpoint(model_dir, cfg)}
+    tokenizer = CLIPTokenizer.from_dir(model_dir, cfg.context_length)
+
+    @jax.jit
+    def _image_fn(images):
+        return model.apply(params, preprocess_images(images, cfg.image_size),
+                           method=CLIP.encode_image)
+
+    @jax.jit
+    def _text_fn(ids):
+        return model.apply(params, ids, method=CLIP.encode_text)
+
+    def _bucketed(fn, batch, pad_row):
+        n = batch.shape[0]
+        if n == 0:
+            return np.zeros((0, cfg.projection_dim), np.float32)
+        outs = []
+        i = 0
+        while i < n:
+            take = min(max_batch, n - i)
+            bucket = min(max_batch, 1 << (take - 1).bit_length())
+            chunk = batch[i:i + take]
+            if take < bucket:
+                pad = np.broadcast_to(pad_row, (bucket - take,)
+                                      + batch.shape[1:])
+                chunk = np.concatenate([chunk, pad], axis=0)
+            outs.append(np.asarray(fn(chunk))[:take])
+            i += take
+        return np.concatenate(outs, axis=0)
+
+    def encode_crops(crops) -> np.ndarray:
+        crops = np.asarray(crops, np.float32)
+        return _bucketed(_image_fn, crops, crops[:1])
+
+    def encode_text(texts: list[str]) -> np.ndarray:
+        ids = tokenizer(texts)
+        return _bucketed(_text_fn, ids, ids[:1])
+
+    return encode_crops, encode_text
+
+
+def load_torch_checkpoint(model_dir: str, cfg: CLIPConfig) -> dict:
+    """Load `pytorch_model.bin` / `model.safetensors` from a local HF
+    checkpoint directory (no-egress posture: the user supplies the dir,
+    like the reference's `--clip_model` path) and convert."""
+    import os
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+        sd = load_file(st_path)
+    elif os.path.exists(bin_path):
+        import torch
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    else:
+        raise FileNotFoundError(
+            f"no pytorch_model.bin or model.safetensors under {model_dir}")
+    return convert_torch_state_dict(sd, cfg)

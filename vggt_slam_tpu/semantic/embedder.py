@@ -141,6 +141,29 @@ def make_hf_clip_encoder(model_dir: str):
     return encode_crops, encode_text
 
 
+def resolve_clip_encoders(model_dir: str, backend: str = "auto"):
+    """Pick crop/text encoders for a local checkpoint dir.
+
+    `native` = the in-repo flax CLIP (models/clip - batched on device);
+    `hf` = host-torch transformers (also covers SigLIP); `auto` = native
+    for CLIP-type checkpoints, hf otherwise.
+    """
+    if backend not in ("auto", "native", "hf"):
+        raise ValueError(f"unknown clip backend {backend!r}")
+    if backend == "auto":
+        import json
+        try:
+            with open(os.path.join(model_dir, "config.json")) as f:
+                backend = ("native" if json.load(f).get("model_type")
+                           == "clip" else "hf")
+        except OSError:
+            backend = "hf"
+    if backend == "native":
+        from vggt_slam_tpu.models.clip import make_encoders
+        return make_encoders(model_dir)
+    return make_hf_clip_encoder(model_dir)
+
+
 class SemanticEmbedder:
     """Dense per-pixel semantic embedding painter."""
 
@@ -305,12 +328,13 @@ class SemanticEmbedder:
 
 
 def _mp_worker(shard_index: int, num_shards: int, image_dir: str,
-               out_dir: str, limit, clip_model_dir, target_size: int):
+               out_dir: str, limit, clip_model_dir, target_size: int,
+               clip_backend: str = "auto"):
     """Shared-nothing worker: builds its own embedder (models are not
     picklable/fork-safe) and processes images with idx % n == i."""
     crop_encoder = None
     if clip_model_dir:
-        crop_encoder, _ = make_hf_clip_encoder(clip_model_dir)
+        crop_encoder, _ = resolve_clip_encoders(clip_model_dir, clip_backend)
     emb = SemanticEmbedder(crop_encoder=crop_encoder,
                            target_hw=(target_size, target_size))
     n = emb.embed_folder_to_npz(image_dir, out_dir, limit=limit,
@@ -321,7 +345,8 @@ def _mp_worker(shard_index: int, num_shards: int, image_dir: str,
 
 def embed_folder_multiproc(image_dir: str, out_dir: str, num_procs: int,
                            limit=None, clip_model_dir=None,
-                           target_size: int = 518) -> None:
+                           target_size: int = 518,
+                           clip_backend: str = "auto") -> None:
     """Process-parallel folder embedding: round-robin image sharding over
     `num_procs` spawned workers writing npz to a shared out_dir - the
     reference's multi-GPU worker pool (semantic_embedder.py:480-566) with
@@ -334,7 +359,7 @@ def embed_folder_multiproc(image_dir: str, out_dir: str, num_procs: int,
     ctx = mp.get_context("spawn")
     procs = [ctx.Process(target=_mp_worker,
                          args=(i, num_procs, image_dir, out_dir, limit,
-                               clip_model_dir, target_size))
+                               clip_model_dir, target_size, clip_backend))
              for i in range(num_procs)]
     for p in procs:
         p.start()
@@ -352,8 +377,13 @@ def main():
     p.add_argument("--image_dir", required=True)
     p.add_argument("--out_dir", required=True)
     p.add_argument("--clip_model_dir", default=None,
-                   help="local transformers CLIP/SigLIP checkpoint; "
+                   help="local CLIP/SigLIP checkpoint dir; "
                         "fallback color-hash encoder if omitted")
+    p.add_argument("--clip_backend", default="auto",
+                   choices=["auto", "native", "hf"],
+                   help="native = in-repo flax CLIP batched on device; "
+                        "hf = host-torch transformers (covers SigLIP); "
+                        "auto picks by the checkpoint's model_type")
     p.add_argument("--masker", default="auto",
                    choices=["auto", "felzenszwalb", "grid", "sam2"],
                    help="mask proposer: auto = felzenszwalb when the "
@@ -382,12 +412,14 @@ def main():
         embed_folder_multiproc(args.image_dir, args.out_dir, args.num_procs,
                                limit=args.limit,
                                clip_model_dir=args.clip_model_dir,
-                               target_size=args.target_size)
+                               target_size=args.target_size,
+                               clip_backend=args.clip_backend)
         return
 
     crop_encoder = text_encoder = None
     if args.clip_model_dir:
-        crop_encoder, text_encoder = make_hf_clip_encoder(args.clip_model_dir)
+        crop_encoder, text_encoder = resolve_clip_encoders(
+            args.clip_model_dir, args.clip_backend)
     mask_generator = None
     if args.masker == "grid":
         mask_generator = grid_mask_generator

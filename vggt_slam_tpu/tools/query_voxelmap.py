@@ -19,10 +19,11 @@ import numpy as np
 from vggt_slam_tpu.semantic.voxel_map import SemanticVoxelMap
 
 
-def text_embedding(query: str, dim: int, clip_model_dir: str | None):
+def text_embedding(query: str, dim: int, clip_model_dir: str | None,
+                   clip_backend: str = "auto"):
     if clip_model_dir:
-        from vggt_slam_tpu.semantic.embedder import make_hf_clip_encoder
-        _, encode_text = make_hf_clip_encoder(clip_model_dir)
+        from vggt_slam_tpu.semantic.embedder import resolve_clip_encoders
+        _, encode_text = resolve_clip_encoders(clip_model_dir, clip_backend)
         return encode_text([query])[0]
     # Fallback: deterministic hashed bag-of-words embedding (pairs with the
     # color-hash image fallback only in the sense of being a valid vector;
@@ -38,6 +39,8 @@ def main():
     p.add_argument("--query", required=True)
     p.add_argument("--top_k", type=int, default=1)
     p.add_argument("--clip_model_dir", default=None)
+    p.add_argument("--clip_backend", default="auto",
+                   choices=["auto", "native", "hf"])
     p.add_argument("--image_dir", default=None,
                    help="if given, copy the retrieved frame image here")
     p.add_argument("--out_dir", default="query_results")
@@ -47,7 +50,8 @@ def main():
 
     vm = SemanticVoxelMap.load_from_directory(args.voxel_dir)
     d = vm.get_features().shape[-1]
-    qe = text_embedding(args.query, d, args.clip_model_dir)
+    qe = text_embedding(args.query, d, args.clip_model_dir,
+                        args.clip_backend)
     idx, coords, sims = vm.query_with_embedding(qe, top_k=args.top_k)
     print(f"query: {args.query!r}")
     for rank, (i, c, s) in enumerate(zip(idx, coords, sims)):
