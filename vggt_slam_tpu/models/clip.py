@@ -406,17 +406,24 @@ def make_encoders(model_dir: str, cfg: CLIPConfig | None = None,
     if cfg is None:
         cfg = CLIPConfig.from_hf_dir(model_dir, dtype=dtype)
     model = CLIP(cfg)
-    params = {"params": load_torch_checkpoint(model_dir, cfg)}
+    # Params ride as jit ARGUMENTS: closed-over trees embed as HLO
+    # constants, and axon's remote compile rejects >~100 MB request
+    # bodies (HTTP 413) - at CLIP-B's 600 MB that kills the compile.
+    params = jax.device_put({"params": load_torch_checkpoint(model_dir,
+                                                             cfg)})
     tokenizer = CLIPTokenizer.from_dir(model_dir, cfg.context_length)
 
     @jax.jit
-    def _image_fn(images):
-        return model.apply(params, preprocess_images(images, cfg.image_size),
+    def _image_apply(p, images):
+        return model.apply(p, preprocess_images(images, cfg.image_size),
                            method=CLIP.encode_image)
 
     @jax.jit
-    def _text_fn(ids):
-        return model.apply(params, ids, method=CLIP.encode_text)
+    def _text_apply(p, ids):
+        return model.apply(p, ids, method=CLIP.encode_text)
+
+    _image_fn = lambda images: _image_apply(params, images)
+    _text_fn = lambda ids: _text_apply(params, ids)
 
     def _bucketed(fn, batch, pad_row):
         n = batch.shape[0]
