@@ -449,3 +449,43 @@ class TestPackedLayout:
         # H and 128). Multi-k-block path so the scratch is exercised.
         self._run_both(np.random.default_rng(15), N=520, H=6, D=32,
                        block_q=128, block_k=128)
+
+    def _run_both_stats(self, rng, N=300, Nk=None, D=32, H=4, **kw):
+        """Packed return_stats ((B, H, Nq) per-head m/l) must match the
+        bhnd stats path — this is what lets ring attention keep the
+        packed layout on the multi-chip exact path (parallel/ring.py)."""
+        Nk = N if Nk is None else Nk
+        q, k, v = make_qkv(rng, B=2, H=H, N=N, D=D)
+        k, v = k[:, :, :Nk], v[:, :, :Nk]
+        ob, mb, lb = attn.flash_attention(q, k, v, interpret=True,
+                                          return_stats=True, **kw)
+        op, mp, lp = attn.flash_attention(self._pack(q), self._pack(k),
+                                          self._pack(v), layout="packed",
+                                          num_heads=H, interpret=True,
+                                          return_stats=True, **kw)
+        np.testing.assert_allclose(np.asarray(op),
+                                   np.asarray(self._pack(ob)), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mp), np.asarray(mb),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lb),
+                                   rtol=2e-4)
+
+    def test_stats_single_block(self):
+        self._run_both_stats(np.random.default_rng(16), N=256, Nk=192,
+                             valid_len=150)
+
+    def test_stats_multi_block_online(self):
+        self._run_both_stats(np.random.default_rng(17), N=520, Nk=520,
+                             block_q=128, block_k=128, valid_len=500)
+
+    def test_stats_multi_block_static(self):
+        # Static-max path: per-head bounds must land in the right stats
+        # lanes (hp=4 head groups at D=32).
+        self._run_both_stats(np.random.default_rng(18), N=520, Nk=520,
+                             block_q=128, block_k=128, softmax="static")
+
+    def test_stats_hp1_d64_heads3(self):
+        # H=3, D=64 -> hp degrades to 1; stats unpack must still index
+        # group/head correctly.
+        self._run_both_stats(np.random.default_rng(19), N=520, Nk=520,
+                             D=64, H=3, block_q=128, block_k=128)

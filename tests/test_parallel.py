@@ -193,6 +193,57 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(l), l_ref, rtol=1e-4,
                                        err_msg=softmax)
 
+    def test_packed_layout_matches_bhnd(self, cpu_devices):
+        """layout="packed" ((B, N, H*D), token axis 1 sharded) must agree
+        with the bhnd ring and the naive reference — including bucket
+        masking and token counts that don't divide the ring."""
+        from vggt_slam_tpu.ops.attention import naive_attention
+        from vggt_slam_tpu.parallel.ring import ring_self_attention
+        mesh = make_mesh(cpu_devices, tp=1)  # dp=8
+        H, D = 2, 16
+        for N, vl in ((8 * 48, None), (8 * 48, 300), (100, None),
+                      (8 * 48 + 17, 100)):
+            q, k, v = self._qkv(N, H=H, D=D, seed=N + 1)
+
+            def pack(t):
+                return jnp.swapaxes(t, 1, 2).reshape(1, t.shape[2], H * D)
+
+            vlj = None if vl is None else jnp.int32(vl)
+            out = ring_self_attention(pack(q), pack(k), pack(v), mesh,
+                                      axis="dp", valid_len=vlj,
+                                      layout="packed", num_heads=H)
+            kv_n = N if vl is None else vl
+            ref = pack(naive_attention(q, k[:, :, :kv_n], v[:, :, :kv_n]))
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-6, err_msg=f"N={N} vl={vl}")
+
+    def test_packed_model_ring_matches_single_device(self, setup,
+                                                     cpu_devices):
+        """Full model with attn_impl='flash' + ring: the attention module
+        must route through the PACKED ring path (pre-applied rope/LN,
+        layout='packed') and still match the unsharded forward. The inner
+        op on CPU meshes is the packed einsum with the flash stats
+        contract; kernel-level packed-stats parity is asserted in
+        tests/test_attention.py."""
+        import dataclasses as dc
+
+        from vggt_slam_tpu.models.vggt.model import make_bucketed_model_fn
+        from vggt_slam_tpu.parallel.infer import make_sharded_bucketed_model_fn
+        cfg, params = setup
+        cfg_flash = dc.replace(cfg, attn_impl="flash")
+        mesh = make_mesh(cpu_devices)  # dp=4, tp=2
+        model = VGGT(cfg_flash)
+        fn_ref = make_bucketed_model_fn(VGGT(cfg), params, bucket_size=3)
+        fn_sp = make_sharded_bucketed_model_fn(model, params, bucket_size=3,
+                                               mesh=mesh, seq_parallel=True)
+        rng = np.random.default_rng(21)
+        imgs = rng.uniform(size=(3, 3, 56, 70)).astype(np.float32)
+        a = fn_ref(imgs)
+        b = fn_sp(imgs)
+        np.testing.assert_allclose(b["pose_enc"], a["pose_enc"], atol=2e-3)
+        np.testing.assert_allclose(b["depth"], a["depth"], rtol=2e-2,
+                                   atol=2e-3)
+
     def test_seq_parallel_model_matches_single_device(self, setup,
                                                       cpu_devices):
         """Full model with ring global attention (seq_parallel=True,

@@ -141,7 +141,8 @@ def main():
     p.add_argument("--downsample_factor", type=int, default=1)
     p.add_argument("--use_sim3", action="store_true")
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--model_size", default="1b", choices=["1b", "small", "tiny"])
+    p.add_argument("--model_size", default="1b",
+                   choices=["1b", "small", "small64", "tiny"])
     p.add_argument("--global_kv_stride", type=int, default=1)
     p.add_argument("--global_softmax", default=None,
                    choices=[None, "online", "static"])

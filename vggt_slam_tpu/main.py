@@ -71,7 +71,9 @@ parser.add_argument("--retrieval_backend", default="salad",
                          "tiny_image_descriptor_fn) - enables loop closure "
                          "with no external weights")
 parser.add_argument("--model_size", type=str, default="1b",
-                    choices=["1b", "small", "tiny"], help="model configuration")
+                    choices=["1b", "small", "small64", "tiny"],
+                    help="model configuration (small64 = small at the "
+                         "flagship D=64 head-dim)")
 parser.add_argument("--global_kv_stride", type=int, default=8,
                     help="FastVGGT-style global-attention K/V token merging "
                          "budget: one K/V slot per N patch tokens of "
@@ -149,11 +151,13 @@ def build_model_fn(args):
         cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
                               global_merge=merge, global_qk_int8=qk_int8,
                               enable_point_head=point_head, **sm_kw)
-    elif args.model_size == "small":
-        cfg = VGGTConfig.small(attn_impl="flash" if on_tpu else "chunked",
-                               global_kv_stride=stride, global_merge=merge,
-                               global_qk_int8=qk_int8,
-                               enable_point_head=point_head, **sm_kw)
+    elif args.model_size in ("small", "small64"):
+        mk = (VGGTConfig.small64 if args.model_size == "small64"
+              else VGGTConfig.small)
+        cfg = mk(attn_impl="flash" if on_tpu else "chunked",
+                 global_kv_stride=stride, global_merge=merge,
+                 global_qk_int8=qk_int8,
+                 enable_point_head=point_head, **sm_kw)
     else:
         cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
                                  global_kv_stride=stride, global_merge=merge,

@@ -144,6 +144,20 @@ class VGGTConfig:
         return VGGTConfig(**base)
 
     @staticmethod
+    def small64(**overrides) -> "VGGTConfig":
+        """small() at the flagship HEAD-DIM: same widths/depths, but 2
+        heads instead of 4, so every attention runs D=64 — the head dim of
+        the 1B flagship (1024/16) and therefore the exact packed-layout
+        kernel geometry (hp=128/D=2 head groups, production block shapes)
+        the headline bench ships. Exists so the merged-vs-exact ATE A/B
+        (evals/ab_attention) measures merging at the kernel shapes that
+        matter, not at the D=32 the plain small() config happens to have
+        (VERDICT round-3 item 1). FLOP cost is identical to small()."""
+        base = dict(enc_heads=2, agg_heads=2)
+        base.update(overrides)
+        return VGGTConfig.small(**base)
+
+    @staticmethod
     def tiny(**overrides) -> "VGGTConfig":
         base = dict(
             img_size=56, patch_size=14,

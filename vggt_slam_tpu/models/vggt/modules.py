@@ -162,9 +162,13 @@ class Attention(nn.Module):
         # (B, N, H*Dh) output directly (attention.py layout="packed" -
         # heads fold into the lane dim in 128-lane groups), so q/k/v and
         # the attention output cross HBM with ZERO transposes/reshapes.
-        # Non-flash impls and the ring path take head-major (B,H,N,Dh).
+        # The ring (sequence-parallel) path keeps the same packed layout
+        # when its inner op is the flash kernel (parallel/ring.py
+        # layout="packed" — stats-returning packed kernels merge across
+        # K/V rotations), so the multi-chip exact path pays no boundary
+        # transposes either. Non-flash impls take head-major (B,H,N,Dh).
         use_ring = self.seq_mesh is not None and kv_map is None
-        use_packed = self.attn_impl == "flash" and not use_ring
+        use_packed = self.attn_impl == "flash"
         Nk = k.shape[1]
         if not use_packed:
             q = jnp.swapaxes(q.reshape(B, N, H, Dh), 1, 2)      # (B,H,N,Dh)
@@ -217,6 +221,19 @@ class Attention(nn.Module):
             if self.attn_impl == "flash" and not use_ring:
                 rope_q = (rope_cos, rope_sin)
                 rope_k = (kv_rope_cos, kv_rope_sin)
+            elif use_packed:
+                # Ring path keeps the packed layout but must pre-apply
+                # rope with GLOBAL positions (K/V chunks rotate between
+                # shards, so in-kernel per-chunk tables would need
+                # rotation-dependent slices). Per-head view + broadcast
+                # tables; XLA fuses this into the projection epilogue.
+                def _rope_packed(t, n, c, s):
+                    hd = t.reshape(B, n, H, Dh)
+                    hd = apply_rope(hd, c[:, None, :], s[:, None, :])
+                    return hd.reshape(B, n, C)
+
+                q = _rope_packed(q, N, rope_cos, rope_sin)
+                k = _rope_packed(k, Nk, kv_rope_cos, kv_rope_sin)
             else:
                 q = apply_rope(q, rope_cos, rope_sin)
                 k = apply_rope(k, kv_rope_cos, kv_rope_sin)
@@ -225,7 +242,9 @@ class Attention(nn.Module):
             from vggt_slam_tpu.parallel.ring import ring_self_attention
             out = ring_self_attention(q, k, v, self.seq_mesh,
                                       axis=self.seq_axis,
-                                      valid_len=kv_valid_len)
+                                      valid_len=kv_valid_len,
+                                      layout="packed" if use_packed
+                                      else "bhnd", num_heads=H)
         else:
             interpret = jax.default_backend() != "tpu"
             out = attn_ops.attention(q, k, v, impl=self.attn_impl,

@@ -368,7 +368,16 @@ def _flash_kernel(vl_ref, *refs, block_k, num_k_blocks, masked, has_rope,
             # sum of exp2(s - m). Enough to merge partial softmaxes across
             # K/V chunks (parallel/ring.py).
             if static_max:
-                mo_ref[...] = jnp.full_like(mo_ref, sm_ref[b])
+                if hp == 1:
+                    mo_ref[...] = jnp.full_like(mo_ref, sm_ref[b])
+                else:
+                    # Per-head static bounds into each head's 128/hp-lane
+                    # stats window (matching m_ref's layout above).
+                    rows = mo_ref.shape[-2]
+                    mo_ref[...] = jnp.concatenate(
+                        [jnp.full((rows, 128 // hp), sm_ref[b * hp + h],
+                                  jnp.float32) for h in range(hp)],
+                        axis=-1).reshape(mo_ref.shape)
             else:
                 mo_ref[...] = m_ref[:].reshape(mo_ref.shape)
             lo_ref[...] = l_ref[:].reshape(lo_ref.shape)
@@ -441,10 +450,21 @@ def _flash_single_kernel(vl_ref, *refs, masked, has_rope, has_bias,
     o = outs[0] if hp == 1 else jnp.concatenate(outs, axis=-1)
     o_ref[...] = o.astype(o_ref.dtype).reshape(o_ref.shape)
     if return_stats:
-        mo_ref[...] = jnp.broadcast_to(ms[0], mo_ref.shape[-2:]) \
-            .reshape(mo_ref.shape)
-        lo_ref[...] = jnp.broadcast_to(ls[0], lo_ref.shape[-2:]) \
-            .reshape(lo_ref.shape)
+        if hp == 1:
+            mo = jnp.broadcast_to(ms[0], mo_ref.shape[-2:])
+            lo = jnp.broadcast_to(ls[0], lo_ref.shape[-2:])
+        else:
+            # Each head's (rows, 1) stats broadcast across its 128/hp-lane
+            # column window (same layout as the multi-block m/l scratch).
+            rows = mo_ref.shape[-2]
+            mo = jnp.concatenate(
+                [jnp.broadcast_to(ms[h], (rows, 128 // hp))
+                 for h in range(hp)], axis=-1)
+            lo = jnp.concatenate(
+                [jnp.broadcast_to(ls[h], (rows, 128 // hp))
+                 for h in range(hp)], axis=-1)
+        mo_ref[...] = mo.reshape(mo_ref.shape)
+        lo_ref[...] = lo.reshape(lo_ref.shape)
 
 
 def _apply_rope_wide(x, cos, sin):
@@ -489,7 +509,6 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     hp = 1
     if layout == "packed":
         assert num_heads, "layout='packed' requires num_heads"
-        assert not return_stats, "return_stats requires layout='bhnd'"
         B, Nq, HD = q.shape
         H = num_heads
         D = HD // H
@@ -627,7 +646,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
     pad_k = (-Nk) % block_k
 
     if return_stats and layout == "nhd":
-        raise NotImplementedError("return_stats requires layout='bhnd'")
+        raise NotImplementedError(
+            "return_stats supports layouts 'bhnd' and 'packed'")
 
     if layout == "packed":
         qf, kf, vf = q, k, v
@@ -656,8 +676,33 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         out_spec2 = pl.BlockSpec((1, block_q, lanes), q_map2)
         out_spec3 = pl.BlockSpec((1, block_q, lanes), q_map3)
 
-        def unpack(out):
-            return out
+        if return_stats:
+            # Per-row softmax stats (f32): one 128-lane tile per head-group
+            # grid step; head h of group p lives in the h-th 128/hp-lane
+            # column window (the m/l scratch layout — see _flash_kernel SW).
+            st_shape = jax.ShapeDtypeStruct((B * PPB, Nq, 128), jnp.float32)
+            st_spec2 = pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0))
+            st_spec3 = pl.BlockSpec((1, block_q, 128),
+                                    lambda b, i, j: (b, i, 0))
+            out_shape = [out_shape, st_shape, st_shape]
+            out_spec2 = [out_spec2, st_spec2, st_spec2]
+            out_spec3 = [out_spec3, st_spec3, st_spec3]
+            hp_ = hp
+
+            def unpack(outs):
+                o, m, l = outs
+
+                def heads(st):
+                    # (B*PPB, Nq, 128) -> (B, H, Nq): column h*(128/hp) of
+                    # group p is head p*hp + h.
+                    st = st[:, :, ::128 // hp_][:, :, :hp_]
+                    st = st.reshape(B, PPB, Nq, hp_)
+                    return jnp.transpose(st, (0, 1, 3, 2)).reshape(B, H, Nq)
+
+                return o, heads(m), heads(l)
+        else:
+            def unpack(out):
+                return out
     elif layout == "nhd":
         qf, kf, vf = q, k, v
 
@@ -838,8 +883,9 @@ def flash_attention(q, k, v, valid_len=None, block_q=1024, block_k=2048,
                     qk_ln=None, qk_ln_eps=1e-5, num_heads=None):
     """Pallas flash attention forward.
 
-    `return_stats` (layout="bhnd" only): additionally return the per-row
-    softmax statistics (m, l), each (B, H, Nq) f32, where the row output is
+    `return_stats` (layouts "bhnd" and "packed"): additionally return the
+    per-row softmax statistics (m, l), each (B, H, Nq) f32, where the row
+    output is
     sum_k exp2(s_k - m) v_k / l with s the exp2-domain logits (softmax
     scale and log2(e) folded in) and m the shift the kernel used (running
     row max, or the static bound under softmax="static"). Two partial

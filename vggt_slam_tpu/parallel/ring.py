@@ -61,6 +61,36 @@ def _chunk_stats_flash(q, kc, vc, vl_local):
     return o.astype(jnp.float32), m[..., None], l[..., None]
 
 
+def _chunk_stats_flash_packed(q, kc, vc, vl_local, *, num_heads):
+    """Packed-layout ((B, Nl, H*D)) stats-returning flash kernel: the
+    projections' native layout crosses the kernel boundary with zero
+    transposes (the win measured at 1437->1264 ms/submap on the
+    single-chip path — ARCHITECTURE.md §9 'layout=packed'). Stats come
+    back per head ((B, H, Nl)); the packed ring merge broadcasts them
+    into the lane domain."""
+    from vggt_slam_tpu.ops.attention import flash_attention
+    o, m, l = flash_attention(q, kc, vc, valid_len=vl_local,
+                              return_stats=True, layout="packed",
+                              num_heads=num_heads)
+    return o.astype(jnp.float32), m, l
+
+
+def _chunk_stats_einsum_packed(q2, kc, vc, vl_local, *, num_heads):
+    """CPU-mesh packed inner: same contract as the flash packed inner
+    ((B, Nl, H*D) out, (B, H, Nl) stats), computed via the bhnd einsum."""
+    B, Nl, HD = q2.shape
+    D = HD // num_heads
+
+    def to_bhnd(t):
+        return jnp.swapaxes(
+            t.reshape(B, t.shape[1], num_heads, D), 1, 2)
+
+    o, m, l = _chunk_stats_einsum(to_bhnd(q2), to_bhnd(kc), to_bhnd(vc),
+                                  vl_local)
+    o = jnp.swapaxes(o, 1, 2).reshape(B, Nl, HD)
+    return o, m[..., 0], l[..., 0]
+
+
 def _ring_self_attention_local(q, k, v, *, axis: str, valid_len, inner):
     """Body run INSIDE shard_map: q/k/v are (B, H, Nl, D) LOCAL chunks.
 
@@ -114,44 +144,116 @@ def _ring_self_attention_local(q, k, v, *, axis: str, valid_len, inner):
     return out.astype(v.dtype)  # v keeps the caller dtype (q may be f32)
 
 
-def ring_self_attention(q, k, v, mesh, axis: str = "dp", valid_len=None,
-                        inner: str = "auto"):
-    """Sequence-parallel exact self-attention: (B, H, N, D) -> same.
+def _ring_self_attention_local_packed(q, k, v, *, axis: str, valid_len,
+                                      inner, num_heads: int):
+    """Packed-layout ring body run INSIDE shard_map: q/k/v are
+    (B, Nl, H*D) LOCAL chunks (token axis 1 sharded). Identical online
+    log-sum-exp merge as the bhnd body, with the per-head (B, H, Nl)
+    stats broadcast into the lane domain (each head's scalar repeated
+    across its D lanes) so the accumulator keeps the projections' native
+    packed layout end to end — no (B, H, N, D) transposes anywhere on
+    the multi-chip exact path."""
+    sp = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    B, Nl, HD = q.shape
+    D = HD // num_heads
+    perm = [(j, (j - 1) % sp) for j in range(sp)]
 
-    The token axis (2) is sharded over `mesh[axis]`; q stays resident and
-    k/v rotate. `valid_len` (python int or traced int32 scalar) masks
-    global key positions >= valid_len (bucket padding). Token counts that
-    don't divide the axis size are padded to the next multiple and masked
-    (padding is appended, so real keys keep their global positions).
-    `inner` picks the per-chunk op: "flash" (Pallas kernel, TPU),
-    "einsum" (XLA, any backend), or "auto" (flash iff the default backend
-    is TPU). Exact softmax semantics - parity with naive attention is
-    tested on an 8-device CPU mesh (tests/test_parallel.py).
+    def lanes(w):
+        # (B, H, Nl) per-head weights -> (B, Nl, H*D) lane broadcast.
+        return jnp.repeat(jnp.swapaxes(w, 1, 2), D, axis=-1,
+                          total_repeat_length=HD)
+
+    def attend(s, kc, vc, m, l, acc):
+        src = jax.lax.rem(me + jnp.asarray(s, jnp.int32), jnp.int32(sp))
+        vl_local = jnp.clip(valid_len - src * Nl, 0, Nl)
+        o_s, m_s, l_s = inner(q, kc, vc, vl_local)   # (B,Nl,HD),(B,H,Nl)x2
+        m_new = jnp.maximum(m, m_s)
+        c_prev = jnp.exp2(m - m_new)
+        c_s = l_s * jnp.exp2(m_s - m_new)
+        acc = acc * lanes(c_prev) + o_s * lanes(c_s)
+        l = l * c_prev + c_s
+        return m_new, l, acc
+
+    def step(s, carry):
+        kc, vc, m, l, acc = carry
+        kc_next = jax.lax.ppermute(kc, axis, perm)
+        vc_next = jax.lax.ppermute(vc, axis, perm)
+        m, l, acc = attend(s, kc, vc, m, l, acc)
+        return kc_next, vc_next, m, l, acc
+
+    m0 = jnp.full((B, num_heads, Nl), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, num_heads, Nl), jnp.float32)
+    a0 = jnp.zeros((B, Nl, HD), jnp.float32)
+    kc, vc, m, l, acc = jax.lax.fori_loop(0, sp - 1, step,
+                                          (k, v, m0, l0, a0))
+    _, l, acc = attend(sp - 1, kc, vc, m, l, acc)
+    out = acc * lanes(1.0 / jnp.maximum(l, 1e-30))
+    return out.astype(v.dtype)
+
+
+def ring_self_attention(q, k, v, mesh, axis: str = "dp", valid_len=None,
+                        inner: str = "auto", layout: str = "bhnd",
+                        num_heads=None):
+    """Sequence-parallel exact self-attention.
+
+    layout="bhnd": q/k/v are (B, H, N, D), token axis 2 sharded.
+    layout="packed": q/k/v are (B, N, H*D) — the qkv projections' native
+    output (requires `num_heads`), token axis 1 sharded; the inner flash
+    kernel then runs its packed-heads path with ZERO boundary transposes
+    (the layout the single-chip path ships — ARCHITECTURE.md §9) and the
+    ring merge broadcasts the per-head stats into the lane domain.
+
+    q stays resident and k/v rotate. `valid_len` (python int or traced
+    int32 scalar) masks global key positions >= valid_len (bucket
+    padding). Token counts that don't divide the axis size are padded to
+    the next multiple and masked (padding is appended, so real keys keep
+    their global positions). `inner` picks the per-chunk op: "flash"
+    (Pallas kernel, TPU), "einsum" (XLA, any backend), or "auto" (flash
+    iff the default backend is TPU). Exact softmax semantics - parity
+    with naive attention is tested on an 8-device CPU mesh
+    (tests/test_parallel.py).
     """
-    N = q.shape[2]
+    packed = layout == "packed"
+    if packed:
+        assert num_heads, "layout='packed' requires num_heads"
+    tok_ax = 1 if packed else 2
+    N = q.shape[tok_ax]
     sp = mesh.shape[axis]
     # Uniform plumbing: "no masking" is valid_len = N (every key valid).
     vl = jnp.asarray(N if valid_len is None else valid_len,
                      jnp.int32).reshape(1)
     pad = (-N) % sp
     if pad:
-        cfgpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+        cfgpad = [(0, 0)] * q.ndim
+        cfgpad[tok_ax] = (0, pad)
         q, k, v = (jnp.pad(t, cfgpad) for t in (q, k, v))
         vl = jnp.minimum(vl, N)  # padded keys are never valid
 
     if inner == "auto":
         inner = "flash" if jax.default_backend() == "tpu" else "einsum"
+    head_dim = (q.shape[-1] // num_heads) if packed else q.shape[-1]
     if inner == "flash":
-        inner_fn = _chunk_stats_flash
+        inner_fn = (functools.partial(_chunk_stats_flash_packed,
+                                      num_heads=num_heads)
+                    if packed else _chunk_stats_flash)
         prep = lambda x: x  # noqa: E731 - kernel folds the scale itself
     else:
-        c_scale = math.log2(math.e) / math.sqrt(q.shape[-1])
-        inner_fn = _chunk_stats_einsum
+        c_scale = math.log2(math.e) / math.sqrt(head_dim)
+        inner_fn = (functools.partial(_chunk_stats_einsum_packed,
+                                      num_heads=num_heads)
+                    if packed else _chunk_stats_einsum)
         prep = lambda x: x.astype(jnp.float32) * c_scale  # noqa: E731
 
-    spec = P(None, None, axis, None)
-    body = functools.partial(_ring_self_attention_local, axis=axis,
-                             inner=inner_fn)
+    if packed:
+        spec = P(None, axis, None)
+        body = functools.partial(_ring_self_attention_local_packed,
+                                 axis=axis, inner=inner_fn,
+                                 num_heads=num_heads)
+    else:
+        spec = P(None, None, axis, None)
+        body = functools.partial(_ring_self_attention_local, axis=axis,
+                                 inner=inner_fn)
 
     def fn_body(a, b, c, w):
         return body(prep(a), b, c, valid_len=w[0])
@@ -159,4 +261,6 @@ def ring_self_attention(q, k, v, mesh, axis: str = "dp", valid_len=None,
     fn = jax.shard_map(fn_body, mesh=mesh, in_specs=(spec, spec, spec, P()),
                        out_specs=spec, check_vma=False)
     out = fn(q, k, v, vl)
-    return out[:, :, :N] if pad else out
+    if not pad:
+        return out
+    return out[:, :N] if packed else out[:, :, :N]

@@ -50,6 +50,8 @@ def build_cfg(model_size: str, on_tpu: bool):
     )
     if model_size == "small":
         return VGGTConfig.small(**kw)
+    if model_size == "small64":
+        return VGGTConfig.small64(**kw)
     return VGGTConfig.tiny(img_size=518, **kw)
 
 
@@ -85,7 +87,7 @@ def main():
                         "bucket: submap_size + overlap + max_loops)")
     p.add_argument("--image_hw", type=int, nargs=2, default=(392, 518))
     p.add_argument("--model_size", default="small",
-                   choices=["small", "tiny"])
+                   choices=["small", "small64", "tiny"])
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--warmup", type=int, default=200)
     p.add_argument("--weight_decay", type=float, default=0.01)
