@@ -43,6 +43,132 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def main_sharded(seq_parallel: bool):
+    """Multi-chip bench: the same per-submap step with the forward jitted
+    over a ("dp","tp") mesh spanning ALL visible devices — the runnable
+    artifact behind the multi-chip exact-attention scaling claim
+    (ARCHITECTURE.md §7: ring attention serves the exact path at ~2.36s/n
+    per submap). With --seq_parallel the exact path runs RING attention
+    over dp (packed-layout stats kernels, K/V rotating via ppermute);
+    otherwise the dp all-gather path. On this environment's single chip
+    the mesh is dp=1 (the code path is identical; the number becomes
+    meaningful the day n>1 chips appear — run `python bench.py
+    --seq_parallel` there).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_slam_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+    from vggt_slam_tpu.models.vggt.config import VGGTConfig
+    from vggt_slam_tpu.models.vggt.model import VGGT
+    from vggt_slam_tpu.ops import pose_graph as pg_ops
+    from vggt_slam_tpu.ops.homography import ransac_projective
+    from vggt_slam_tpu.parallel.infer import make_sharded_submap_forward
+    from vggt_slam_tpu.parallel.mesh import make_mesh
+    from vggt_slam_tpu.slam.graph import PoseGraph
+
+    backend = jax.default_backend()
+    n_dev = len(jax.devices())
+    tp = int(os.environ.get("BENCH_TP", "1"))
+    mesh = make_mesh(tp=tp)
+    log(f"backend: {backend}; mesh: {dict(mesh.shape)}; "
+        f"seq_parallel: {seq_parallel}")
+
+    SUBMAP = 32
+    S = SUBMAP + 1
+    H, W = 392, 518
+    on_tpu = backend == "tpu"
+    stride = int(os.environ.get("BENCH_KV_STRIDE", "8"))
+
+    def make_cfg(stride):
+        if not on_tpu:
+            return VGGTConfig.tiny(img_size=518, global_kv_stride=stride)
+        return VGGTConfig.vggt_1b(attn_impl="flash",
+                                  global_kv_stride=stride,
+                                  enable_point_head=False)
+
+    t0 = time.time()
+    model = VGGT(make_cfg(stride))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 3, H, W)))
+    jax.block_until_ready(params)
+    log(f"init: {time.time() - t0:.1f}s")
+
+    # Merged path: plain dp/tp sharding (the 4-8x-smaller merged K/V set
+    # all-gathers cheaply). Exact path: ring attention iff seq_parallel.
+    fwd_m, params_sh, bucket, mesh = make_sharded_submap_forward(
+        model, params, S, mesh=mesh, with_unprojection=True,
+        image_hw=(H, W))
+    fwd_e, _, _, _ = make_sharded_submap_forward(
+        VGGT(make_cfg(1)), params, S, mesh=mesh, with_unprojection=True,
+        seq_parallel=seq_parallel, image_hw=(H, W))
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(bucket, 3, H, W)), jnp.float32)
+    n_pts = H * W
+    pts_prev = jnp.asarray(rng.uniform(-1, 1, (n_pts, 3)) + [0, 0, 3],
+                           jnp.float32)
+    weights = jnp.ones((n_pts,), jnp.float32)
+    pg = PoseGraph("sl4", dtype=np.float32)
+    pg.add_homography(0, np.eye(4))
+    pg.add_prior_factor(0, np.eye(4))
+    for k in range(1, 40):
+        pg.add_homography(k, np.eye(4))
+        pg.add_between_factor(k - 1, k, np.eye(4))
+    arrays = pg._build_arrays()
+
+    @jax.jit
+    def checksum(a, b, c, d):
+        return jnp.sum(a) + jnp.sum(b) + jnp.sum(c) + d
+
+    def make_step(fwd):
+        def step(key):
+            out = fwd(params_sh, imgs, jnp.int32(S))
+            pts = out["unproj_points_cf"][:, 0].reshape(3, -1).T
+            Hrel, _ = ransac_projective(pts, pts_prev, weights, key=key)
+            values, err = pg_ops.optimize(arrays, manifold="sl4",
+                                          max_iters=10)
+            return out["pose_enc"], Hrel, values, err
+        return step
+
+    def sync(res):
+        return float(checksum(res[0], res[1], res[2], res[3]))
+
+    def measure(step, label):
+        t0 = time.time()
+        sync(step(jax.random.PRNGKey(0)))
+        log(f"[{label}] compile+first step: {time.time() - t0:.1f}s")
+        times = []
+        for i in range(4):
+            t0 = time.time()
+            sync(step(jax.random.PRNGKey(i)))
+            times.append(time.time() - t0)
+        best = min(times)
+        fps = SUBMAP / best
+        log(f"per-submap [{label}]: {best*1e3:.0f} ms -> {fps:.2f} FPS "
+            f"(times: {[f'{t:.2f}' for t in times]})")
+        return fps
+
+    fps = measure(make_step(fwd_m), f"shard merged stride={stride}")
+    exact_fps = measure(
+        make_step(fwd_e),
+        "shard exact ring" if seq_parallel else "shard exact")
+
+    print(json.dumps({
+        "metric": "tum_style_submap32_e2e_fps_shard",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 20.0, 3),
+        "exact_fps": round(exact_fps, 2),
+        "exact_vs_baseline": round(exact_fps / 20.0, 3),
+        "n_devices": n_dev,
+        "mesh": dict(mesh.shape),
+        "seq_parallel": bool(seq_parallel),
+        "operating_point": f"global_kv_stride={stride}",
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -274,4 +400,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--shard", action="store_true",
+                    help="jit the forward over a (dp,tp) mesh spanning all "
+                         "visible devices (BENCH_TP sets tp; dp = n/tp)")
+    ap.add_argument("--seq_parallel", action="store_true",
+                    help="with the sharded bench: run the exact path as "
+                         "ring attention over dp (implies --shard)")
+    a = ap.parse_args()
+    if a.shard or a.seq_parallel or os.environ.get("BENCH_SHARD") == "1":
+        main_sharded(a.seq_parallel
+                     or os.environ.get("BENCH_SEQ_PARALLEL") == "1")
+    else:
+        main()

@@ -117,10 +117,55 @@ def summarize(rows: list[dict]) -> list[dict]:
                 if r["config"] == name and r.get("ate_rmse") not in (None, "")]
         if not ates:
             continue
+        scales = [float(r["ate_scale"]) for r in rows
+                  if r["config"] == name and r.get("ate_scale")]
         out.append({"config": name, "global_kv_stride": stride,
                     "global_softmax": softmax, "n": len(ates),
                     "ate_rmse_mean": round(float(np.mean(ates)), 6),
-                    "ate_rmse_max": round(float(np.max(ates)), 6)})
+                    "ate_rmse_max": round(float(np.max(ates)), 6),
+                    "ate_scale_mean": round(float(np.mean(scales)), 4)
+                    if scales else ""})
+    return out
+
+
+def paired_deltas(rows: list[dict], base: str, n_boot: int = 20000,
+                  seed: int = 0) -> list[dict]:
+    """Per-sequence PAIRED (config - base) ATE deltas with a bootstrap CI.
+
+    The r3 A/B reported config means over independent sequences, whose
+    spread (±0.04 m between semantics-identical configs) swamped the
+    merge effects being measured. Pairing by sequence removes the
+    between-sequence variance (each sequence is its own control); the
+    bootstrap (resampling sequences with replacement) then gives a
+    nonparametric 95% CI on the mean paired delta — the number the
+    headline's accuracy claim actually rests on (VERDICT r3 item 1).
+    """
+    import numpy as np
+    by = {}
+    for r in rows:
+        if r.get("ate_rmse") in (None, ""):
+            continue
+        by.setdefault(r["config"], {})[
+            (r["sequence"], r.get("trial", "0"))] = float(r["ate_rmse"])
+    if base not in by:
+        return []
+    out = []
+    rng = np.random.default_rng(seed)
+    for name in by:
+        if name == base:
+            continue
+        keys = sorted(set(by[name]) & set(by[base]))
+        if not keys:
+            continue
+        d = np.array([by[name][k] - by[base][k] for k in keys])
+        boots = rng.choice(d, size=(n_boot, len(d)), replace=True).mean(1)
+        lo, hi = np.percentile(boots, [2.5, 97.5])
+        out.append({"config": name, "base": base, "n_pairs": len(d),
+                    "delta_mean_m": round(float(d.mean()), 6),
+                    "delta_ci95_lo_m": round(float(lo), 6),
+                    "delta_ci95_hi_m": round(float(hi), 6),
+                    "delta_max_m": round(float(d.max()), 6),
+                    "frac_sequences_worse": round(float((d > 0).mean()), 3)})
     return out
 
 
@@ -166,18 +211,6 @@ def main():
     summary = summarize(rows)
     for s in summary:
         print(s)
-    base = next((s for s in summary if s["config"] == "exact_online"), None)
-    if base:
-        # Delta of every merged config vs reference semantics;
-        # merged8_static is the shipped headline operating point.
-        for s in summary:
-            if s["config"].startswith("merged"):
-                tag = (" (headline)"
-                       if s["config"] == "merged8_static" else "")
-                print(f"{s['config']} - exact_online ATE delta: "
-                      f"{s['ate_rmse_mean'] - base['ate_rmse_mean']:+.6f} m "
-                      f"({s['ate_rmse_mean'] / max(base['ate_rmse_mean'], 1e-12):.3f}x)"
-                      f"{tag}")
     sum_path = args.out.replace(".csv", "_summary.csv")
     with open(sum_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(summary[0]) if summary else
@@ -185,6 +218,29 @@ def main():
         w.writeheader()
         w.writerows(summary)
     print(f"wrote {sum_path}")
+
+    # Paired per-sequence deltas + bootstrap CI against each exact
+    # baseline present in this run (merged8_static - exact_* is the
+    # headline's accuracy evidence).
+    pairs = []
+    for base in ("exact_online", "exact_static"):
+        pairs += paired_deltas(rows, base)
+    for prow in pairs:
+        tag = (" (headline vs reference semantics)"
+               if prow["config"] == "merged8_static"
+               and prow["base"] == "exact_online" else "")
+        print(f"{prow['config']} - {prow['base']}: "
+              f"{prow['delta_mean_m']:+.4f} m "
+              f"[95% CI {prow['delta_ci95_lo_m']:+.4f}, "
+              f"{prow['delta_ci95_hi_m']:+.4f}] "
+              f"n={prow['n_pairs']}{tag}")
+    if pairs:
+        p_path = args.out.replace(".csv", "_paired.csv")
+        with open(p_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(pairs[0]))
+            w.writeheader()
+            w.writerows(pairs)
+        print(f"wrote {p_path}")
 
 
 if __name__ == "__main__":

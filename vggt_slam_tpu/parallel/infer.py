@@ -55,31 +55,22 @@ def make_sharded_forward(model, params, mesh=None):
     return fwd, params_sharded
 
 
-def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
-                                   mesh=None, as_numpy: bool = True,
-                                   with_unprojection: bool = False,
-                                   seq_parallel: bool = False):
-    """Sharded counterpart of models.vggt.model.make_bucketed_model_fn:
-    a prediction callable that pads every submap batch to a fixed bucket
-    (rounded up so the frame axis divides the dp mesh axis), passes a traced
-    `valid_frames`, and runs the forward sharded over the ("dp","tp") mesh.
-    Drop-in for the SLAM solver's model_fn (main.py --shard).
+def make_sharded_submap_forward(model, params, bucket_size: int, mesh=None,
+                                with_unprojection: bool = False,
+                                seq_parallel: bool = False,
+                                image_hw=None):
+    """Device-resident sharded forward: the piece of
+    make_sharded_bucketed_model_fn below WITHOUT the host numpy boundary.
 
-    `with_unprojection=True` mirrors the single-chip path: camera decode +
-    depth unprojection run INSIDE the sharded jit (frame-parallel over dp),
-    so sharded runs skip the per-submap host depth round-trip too.
-
-    `seq_parallel=True` runs the exact global-attention path as RING
-    attention over the dp axis (parallel/ring.py): tokens stay sharded and
-    K/V chunks rotate via ppermute instead of XLA all-gathering the full
-    S*P-token sequence onto every chip at each of the 24 global blocks.
-    Only meaningful when the model is exact (global_kv_stride == 1); the
-    merged path's reduced K/V set is cheap to all-gather and keeps the
-    regular dispatch.
+    Returns (fwd, params_sharded, bucket, mesh) where
+    fwd(params_sharded, padded_images, valid_frames) is the jitted
+    forward with dp/tp (and optionally ring/sequence-parallel) shardings;
+    the caller keeps `padded_images` ((bucket, 3, H, W)) resident on
+    device across calls — which is what a serving/bench loop needs
+    (bench.py --shard measures this path; through the axon tunnel a
+    per-step host upload would dominate the step).
     """
     import dataclasses
-
-    import numpy as np
 
     from vggt_slam_tpu.ops import geometry
 
@@ -108,13 +99,45 @@ def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
                     out["depth"][..., 0], extr, intr)
         return out
 
-    H = W = model.cfg.img_size
+    H, W = image_hw if image_hw else (model.cfg.img_size,
+                                      model.cfg.img_size)
     example = (jax.ShapeDtypeStruct((bucket, 3, H, W), jnp.float32),
                jax.ShapeDtypeStruct((), jnp.int32))
     out_shardings = _output_shardings(_apply, mesh, params, *example)
 
     fwd = jax.jit(_apply, in_shardings=(p_shard, f_shard, r_shard),
                   out_shardings=out_shardings)
+    return fwd, params_sharded, bucket, mesh
+
+
+def make_sharded_bucketed_model_fn(model, params, bucket_size: int,
+                                   mesh=None, as_numpy: bool = True,
+                                   with_unprojection: bool = False,
+                                   seq_parallel: bool = False):
+    """Sharded counterpart of models.vggt.model.make_bucketed_model_fn:
+    a prediction callable that pads every submap batch to a fixed bucket
+    (rounded up so the frame axis divides the dp mesh axis), passes a traced
+    `valid_frames`, and runs the forward sharded over the ("dp","tp") mesh.
+    Drop-in for the SLAM solver's model_fn (main.py --shard).
+
+    `with_unprojection=True` mirrors the single-chip path: camera decode +
+    depth unprojection run INSIDE the sharded jit (frame-parallel over dp),
+    so sharded runs skip the per-submap host depth round-trip too.
+
+    `seq_parallel=True` runs the exact global-attention path as RING
+    attention over the dp axis (parallel/ring.py): tokens stay sharded and
+    K/V chunks rotate via ppermute instead of XLA all-gathering the full
+    S*P-token sequence onto every chip at each of the 24 global blocks.
+    Only meaningful when the model is exact (global_kv_stride == 1); the
+    merged path's reduced K/V set is cheap to all-gather and keeps the
+    regular dispatch.
+    """
+    import numpy as np
+
+    fwd, params_sharded, bucket, mesh = make_sharded_submap_forward(
+        model, params, bucket_size, mesh=mesh,
+        with_unprojection=with_unprojection, seq_parallel=seq_parallel)
+    dp = mesh.shape["dp"]
 
     def _slice(k, v, S):
         return v[:, :S] if k in _CF_KEYS else v[:S]

@@ -144,21 +144,28 @@ def make_hf_clip_encoder(model_dir: str):
 def resolve_clip_encoders(model_dir: str, backend: str = "auto"):
     """Pick crop/text encoders for a local checkpoint dir.
 
-    `native` = the in-repo flax CLIP (models/clip - batched on device);
-    `hf` = host-torch transformers (also covers SigLIP); `auto` = native
-    for CLIP-type checkpoints, hf otherwise.
+    `native` = the in-repo flax towers (models/clip for CLIP-type
+    checkpoints, models/siglip for SigLIP-type — both batched on device);
+    `hf` = host-torch transformers; `auto` = native for both families
+    (the reference treats them interchangeably,
+    reference semantic_embedder.py:48), hf for anything else.
     """
     if backend not in ("auto", "native", "hf"):
         raise ValueError(f"unknown clip backend {backend!r}")
-    if backend == "auto":
+    model_type = None
+    if backend in ("auto", "native"):
         import json
         try:
             with open(os.path.join(model_dir, "config.json")) as f:
-                backend = ("native" if json.load(f).get("model_type")
-                           == "clip" else "hf")
+                model_type = json.load(f).get("model_type")
         except OSError:
-            backend = "hf"
+            model_type = None
+        if backend == "auto":
+            backend = "native" if model_type in ("clip", "siglip") else "hf"
     if backend == "native":
+        if model_type == "siglip":
+            from vggt_slam_tpu.models.siglip import make_encoders
+            return make_encoders(model_dir)
         from vggt_slam_tpu.models.clip import make_encoders
         return make_encoders(model_dir)
     return make_hf_clip_encoder(model_dir)
