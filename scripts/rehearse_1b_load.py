@@ -1,0 +1,151 @@
+"""1B-scale load rehearsal: synthetic torch ckpt -> convert -> load -> forward.
+
+tests/test_convert_manifest.py proves the converter's NAME/SHAPE mapping
+against the committed full-size manifest, but nothing exercised the
+convert -> save -> load -> forward path at real size and dtype (VERDICT
+r3 item 4) — the one untested step between this repo and the released
+facebook/VGGT-1B weights the moment egress exists (reference
+main.py:67-69 downloads model.pt and load_state_dict's it).
+
+This script rehearses exactly that path with a synthetic checkpoint:
+
+  1. synthesize a full-size torch state dict from the committed manifest
+     (tests/data/manifest_vggt_1b.json): bf16 tensors like the released
+     file, N(0, 0.02) weights with identity LayerNorm/identity-bias
+     structure so the forward stays finite;
+  2. run the production converter (models/vggt/convert.
+     convert_torch_checkpoint) -> flat npz, asserting ZERO unmatched
+     flax params and ZERO unused torch keys;
+  3. load the npz through load_checkpoint into the model template;
+  4. run one flagship-bucket forward (S=33, 392x518, the bench shape) on
+     the default backend and read back a checksum; report wall times and
+     device memory stats where the runtime exposes them.
+
+Usage:  python scripts/rehearse_1b_load.py [--workdir /tmp/rehearse_1b]
+        (add --skip_forward to stop after the load on CPU-only hosts)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def synthesize_state_dict(manifest: dict):
+    import torch
+    sd = {}
+    g = torch.Generator().manual_seed(0)
+    for k, shape in manifest.items():
+        t = torch.empty(tuple(shape), dtype=torch.float32)
+        if k.endswith(".bias") or "norm" in k.lower() and k.endswith(
+                ".bias"):
+            t.zero_()
+        elif any(s in k for s in ("norm", "ln")) and k.endswith(".weight") \
+                and len(shape) == 1:
+            t.fill_(1.0)  # LayerNorm scales: identity
+        else:
+            t.normal_(0.0, 0.02, generator=g)
+        sd[k] = t.to(torch.bfloat16)
+    return sd
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/rehearse_1b")
+    p.add_argument("--manifest",
+                   default="tests/data/manifest_vggt_1b.json")
+    p.add_argument("--skip_forward", action="store_true")
+    p.add_argument("--frames", type=int, default=33)
+    args = p.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_slam_tpu.models.vggt.config import VGGTConfig
+    from vggt_slam_tpu.models.vggt.convert import (convert_torch_checkpoint,
+                                                   load_checkpoint)
+    from vggt_slam_tpu.models.vggt.model import VGGT, make_bucketed_model_fn
+    from vggt_slam_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    with open(args.manifest) as f:
+        manifest = json.load(f)
+
+    pt_path = os.path.join(args.workdir, "model.pt")
+    if not os.path.exists(pt_path):
+        t0 = time.time()
+        sd = synthesize_state_dict(manifest)
+        torch.save(sd, pt_path)
+        print(f"[1] synthesized {len(sd)} tensors "
+              f"({sum(v.numel() for v in sd.values())/1e9:.3f}B params, "
+              f"bf16) -> {pt_path} "
+              f"({os.path.getsize(pt_path)/1e9:.2f} GB) "
+              f"in {time.time()-t0:.1f}s", flush=True)
+        del sd
+    else:
+        print(f"[1] reusing {pt_path}", flush=True)
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
+                             enable_point_head=False, global_kv_stride=8)
+    model = VGGT(cfg)
+    H, W = 392, 518
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jax.ShapeDtypeStruct((1, 3, H, W),
+                                                   jnp.float32))
+
+    npz_path = os.path.join(args.workdir, "checkpoint.npz")
+    t0 = time.time()
+    report = convert_torch_checkpoint(pt_path, template, npz_path)
+    dt_convert = time.time() - t0
+    assert not report["unmatched_flax"], report["unmatched_flax"][:5]
+    assert not report["unused_torch"], report["unused_torch"][:5]
+    print(f"[2] converted -> {npz_path} "
+          f"({os.path.getsize(npz_path)/1e9:.2f} GB) in {dt_convert:.1f}s; "
+          f"0 unmatched / 0 unused", flush=True)
+
+    t0 = time.time()
+    params = load_checkpoint(npz_path, template)
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(hasattr(a, "dtype") and a.dtype != object for a in leaves)
+    n = sum(int(np.prod(a.shape)) for a in leaves)
+    print(f"[3] loaded {len(leaves)} arrays / {n/1e9:.3f}B params "
+          f"in {time.time()-t0:.1f}s", flush=True)
+
+    if args.skip_forward:
+        print("skip_forward: done", flush=True)
+        return
+
+    fn = make_bucketed_model_fn(model, params, bucket_size=args.frames,
+                                with_unprojection=True)
+    imgs = np.random.default_rng(0).uniform(
+        size=(args.frames, 3, H, W)).astype(np.float32)
+    t0 = time.time()
+    out = fn(imgs)
+    cs = float(np.sum(out["pose_enc"])) + float(np.sum(out["depth"][:1]))
+    dt_first = time.time() - t0
+    assert np.isfinite(cs), cs
+    t0 = time.time()
+    out = fn(imgs)
+    cs2 = float(np.sum(out["pose_enc"]))
+    dt_warm = time.time() - t0
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {k: round(v / 2**30, 2) for k, v in stats.items()
+               if "bytes" in k and isinstance(v, (int, float))}
+    except Exception as e:
+        mem = {"memory_stats": f"unavailable: {e}"}
+    print(f"[4] forward S={args.frames} {H}x{W}: first(+compile) "
+          f"{dt_first:.1f}s, warm {dt_warm:.2f}s, checksum {cs:.4g}/"
+          f"{cs2:.4g}; device mem (GiB): {mem}", flush=True)
+    print("REHEARSAL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
