@@ -179,6 +179,43 @@ class TestGlobalKVMerging:
         d = np.abs(np.asarray(out_m["depth"]) - np.asarray(out_f["depth"]))
         assert d.mean() < 10.0
 
+    def test_fatal_merge_family_guard(self):
+        """The measured worker-fatal family (sim merge, stride>=16, narrow
+        agg) must raise an explanatory error on the TPU backend instead of
+        wedging the chip (ARCHITECTURE.md §9, r4 bisect); CPU runs, the
+        flagship width, stride 8, and the env override are unaffected."""
+        import os
+
+        from vggt_slam_tpu.models.vggt.aggregator import (
+            _check_fatal_merge_family)
+        small16 = VGGTConfig.small(global_kv_stride=16, global_merge="sim")
+        with pytest.raises(RuntimeError, match="fatal"):
+            _check_fatal_merge_family(small16, "tpu")
+        # not fatal: CPU backend, stride 8, flagship width
+        _check_fatal_merge_family(small16, "cpu")
+        _check_fatal_merge_family(
+            VGGTConfig.small(global_kv_stride=8, global_merge="sim"), "tpu")
+        _check_fatal_merge_family(
+            VGGTConfig.vggt_1b(global_kv_stride=16, global_merge="sim"),
+            "tpu")
+        # small64 shares the fatal agg_dim=128 merge-glue width: guarded.
+        with pytest.raises(RuntimeError, match="fatal"):
+            _check_fatal_merge_family(
+                VGGTConfig.small64(global_kv_stride=16, global_merge="sim"),
+                "tpu")
+        os.environ["VGGT_ALLOW_FATAL_MERGE"] = "1"
+        try:
+            _check_fatal_merge_family(small16, "tpu")
+        finally:
+            del os.environ["VGGT_ALLOW_FATAL_MERGE"]
+        # The guard sits on the forward path: a CPU forward of the guarded
+        # config still runs (backend-gated).
+        cfg = VGGTConfig.tiny(global_kv_stride=16, global_merge="sim")
+        params = init_params(VGGTConfig.tiny(), jax.random.PRNGKey(0),
+                             sample_frames=2, image_hw=(56, 70))
+        out = VGGT(cfg).apply(params, jnp.zeros((2, 3, 56, 70)))
+        assert out["pose_enc"].shape == (2, 9)
+
     def test_sim_merge_at_least_as_faithful_as_stride(self):
         """Similarity merging (FastVGGT's method) preserves dropped-token
         mass; at the same K/V budget its aggregator output should sit at

@@ -46,11 +46,11 @@ CONFIGS = [
     ("merged8_static", 8, "static"),
     # stride-16 sensitivity probes (not the shipped default; run via
     # --configs merged16_online merged16_static to a separate artifact).
-    # CAUTION: at the small-model eval shapes this configuration crashed
-    # the axon TPU worker reproducibly (ARCHITECTURE.md section 9,
-    # "Global K/V merging at stride 16") - the flagship bench shape runs
-    # clean, so the hazard is tile-geometry-specific. Expect a wedged
-    # worker (~15-40 min) if it reproduces on your runtime.
+    # CAUTION: at small/small64 widths (agg_dim 128) the SIM-merge glue
+    # at stride 16 is the measured TPU-worker-fatal family (r4 bisect,
+    # ARCHITECTURE.md section 9) - the model now raises instead of
+    # wedging the chip; set VGGT_ALLOW_FATAL_MERGE=1 to re-probe
+    # deliberately on a newer runtime. The flagship width is clean.
     ("merged16_online", 16, "online"),
     ("merged16_static", 16, "static"),
 ]

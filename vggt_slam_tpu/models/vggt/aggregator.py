@@ -102,6 +102,8 @@ class Aggregator(nn.Module):
         cos_kv = sin_kv = None
         merge_sim = (cfg.global_kv_stride > 1 and S > 1 and
                      cfg.global_merge == "sim")
+        if merge_sim:
+            _check_fatal_merge_family(cfg, jax.default_backend())
         if cfg.global_kv_stride > 1 and S > 1:
             import numpy as onp
             r = cfg.global_kv_stride
@@ -211,3 +213,35 @@ class Aggregator(nn.Module):
 
         captured["patch_start"] = ns
         return captured
+
+
+def _check_fatal_merge_family(cfg, backend: str) -> None:
+    """Fence the measured worker-fatal sim-merge family (raise, don't wedge).
+
+    Round-4 bisect on the v5e/axon runtime (scripts/repro_stride16_fault.py
+    + scripts/repro_stride16_forward.py): at global_kv_stride=16 on the
+    SMALL config (agg_dim 128), the flash kernel at the exact production
+    geometry is CLEAN in isolation, merge="stride" (same kernel shapes, no
+    similarity glue) runs the full forward CLEAN, and merge="sim" crashes
+    the TPU worker into a multi-minute restart loop at the first readback
+    — 4/4 across r3+r4. The flagship config (agg_dim 1024) is clean at the
+    same stride with the same merge-matrix Pd. The fatal family therefore
+    keys on the sim-merge GLUE at narrow widths, not on the attention
+    kernel, and until the runtime/XLA fault is fixed upstream this guard
+    turns "wedge the chip for 15-40 min" into an immediate, explanatory
+    error. Override with VGGT_ALLOW_FATAL_MERGE=1 (e.g. to re-probe on a
+    newer runtime); CPU/interpret runs are unaffected (the fault is
+    TPU-runtime-specific — the same program passes CPU-mesh parity tests).
+    """
+    import os
+    if backend != "tpu" or os.environ.get("VGGT_ALLOW_FATAL_MERGE") == "1":
+        return
+    if cfg.global_kv_stride >= 16 and cfg.agg_dim <= 128:
+        raise RuntimeError(
+            f"global_merge='sim' at global_kv_stride={cfg.global_kv_stride} "
+            f"with agg_dim={cfg.agg_dim} is the measured TPU-worker-fatal "
+            "family on this runtime (crashes the worker into a 15-40 min "
+            "restart loop; see ARCHITECTURE.md §9 and scripts/"
+            "repro_stride16_forward.py). Use --global_merge stride, "
+            "--global_kv_stride 8, or set VGGT_ALLOW_FATAL_MERGE=1 to "
+            "re-probe deliberately.")
