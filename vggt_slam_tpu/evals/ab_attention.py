@@ -31,7 +31,6 @@ import csv
 import os
 import subprocess
 import sys
-import tempfile
 
 # (name, global_kv_stride, global_softmax): exact/online is the reference
 # semantics; merged8/static is the single-chip headline operating point
@@ -77,8 +76,27 @@ def generate_sequences(root: str, n: int, n_frames: int,
 
 def run_config(name: str, stride: int, softmax: str, seq_root: str,
                seqs: list[str], args) -> list[dict]:
-    with tempfile.TemporaryDirectory() as td:
-        out_csv = os.path.join(td, f"{name}.csv")
+    # Per-config rows persist next to the output CSV so a multi-hour
+    # sweep interrupted by a worker crash resumes from the last finished
+    # config instead of restarting (each config is ~20-45 min at 20
+    # sequences on this host).
+    rows_dir = (args.out[:-4] if args.out.endswith(".csv")
+                else args.out) + "_rows"
+    os.makedirs(rows_dir, exist_ok=True)
+    out_csv = os.path.join(rows_dir, f"{name}.csv")
+    expected = len(seqs) * args.trials
+    rows = []
+    if os.path.exists(out_csv):
+        with open(out_csv) as f:
+            rows = list(csv.DictReader(f))
+        if len(rows) >= expected:
+            print(f"[{name}] cached: {len(rows)} rows from {out_csv}",
+                  flush=True)
+        else:
+            print(f"[{name}] stale cache ({len(rows)}/{expected} rows); "
+                  "re-running", flush=True)
+            rows = []
+    if not rows:
         cmd = [sys.executable, "-m", "vggt_slam_tpu.evals.run_eval",
                "--dataset_root", seq_root,
                "--sequences", *[os.path.basename(s) for s in seqs],
@@ -95,11 +113,33 @@ def run_config(name: str, stride: int, softmax: str, seq_root: str,
         if args.checkpoint:
             cmd += ["--checkpoint", args.checkpoint]
         print(f"[{name}] {' '.join(cmd)}", flush=True)
-        proc = subprocess.run(cmd, text=True, capture_output=True)
-        sys.stdout.write(proc.stdout[-4000:])
-        if proc.returncode != 0:
+        # The axon worker can crash mid-run and cycle for minutes
+        # (ARCHITECTURE.md §9); retry the config once after waiting for
+        # the device to answer a liveness probe again.
+        for attempt in (1, 2):
+            proc = subprocess.run(cmd, text=True, capture_output=True)
+            sys.stdout.write(proc.stdout[-4000:])
+            if proc.returncode == 0:
+                break
             sys.stderr.write(proc.stderr[-4000:])
-            raise RuntimeError(f"config {name} failed")
+            if attempt == 2:
+                raise RuntimeError(f"config {name} failed")
+            print(f"[{name}] attempt {attempt} failed (rc="
+                  f"{proc.returncode}); probing device before retry",
+                  flush=True)
+            import time
+            for _ in range(30):
+                try:
+                    probe = subprocess.run(
+                        [sys.executable, "-c",
+                         "import jax, jax.numpy as jnp; "
+                         "print(float(jnp.sum(jnp.ones((2,2)))))"],
+                        capture_output=True, timeout=120)
+                    if probe.returncode == 0:
+                        break
+                except subprocess.TimeoutExpired:
+                    pass
+                time.sleep(45)
         with open(out_csv) as f:
             rows = list(csv.DictReader(f))
     for r in rows:
