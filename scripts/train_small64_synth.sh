@@ -16,6 +16,9 @@ OUT=${1:-warmcache/small64_synth}
 STEPS=${2:-3000}
 SEED=${3:-0}
 ATTEMPT_TIMEOUT=${ATTEMPT_TIMEOUT:-5400}
+# ATTN_IMPL=chunked sidesteps the Pallas flash_grad backward kernels,
+# which at small64 width crash the axon worker every ~200 steps (r4).
+EXTRA_ARGS=${ATTN_IMPL:+--attn_impl $ATTN_IMPL}
 mkdir -p "$OUT"
 for attempt in $(seq 1 40); do
   for probe in $(seq 1 30); do
@@ -35,7 +38,7 @@ for attempt in $(seq 1 40); do
   timeout "$ATTEMPT_TIMEOUT" \
     python -m vggt_slam_tpu.tools.train_tiny --out "$OUT" --steps "$STEPS" \
     --frames 10 --model_size small64 --seed "$SEED" --ckpt_every 150 \
-    $RESUME >> "$OUT/train.out" 2>&1
+    $RESUME $EXTRA_ARGS >> "$OUT/train.out" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
     echo "=== done rc=0" >> "$OUT/train.out"

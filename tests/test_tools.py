@@ -318,3 +318,53 @@ class TestSynthSequence:
         f2 = cv2.imread(names[2]).astype(np.int32)
         f6 = cv2.imread(names[6]).astype(np.int32)
         assert np.abs(f2 - f6).mean() > 1.0
+
+
+class TestTrainStateResume:
+    """train_tiny's full-state crash-resume (r4: the axon worker crashes
+    every ~200 steps of sustained small64 training; param-only resume
+    restarted Adam moments + the LR schedule each attempt)."""
+
+    def test_opt_state_round_trip_continues_schedule(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from vggt_slam_tpu.tools.train_tiny import (load_train_state,
+                                                    save_train_state)
+
+        params = {"w": jnp.ones((3, 4)), "b": {"c": jnp.zeros((2,))}}
+        sched = optax.warmup_cosine_decay_schedule(0.0, 3e-4, 10, 100, 3e-6)
+        tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adamw(sched, weight_decay=0.01))
+        st = tx.init(params)
+        g = jax.tree.map(lambda x: x + 0.1, params)
+        for _ in range(3):
+            up, st = tx.update(g, st, params)
+            params = optax.apply_updates(params, up)
+        path = str(tmp_path / "opt.npz")
+        save_train_state(st, 3, path)
+        st2, step = load_train_state(tx.init(params), path)
+        assert step == 3
+        # The restored state must drive the NEXT update identically -
+        # i.e. Adam moments and the schedule's step count both survived.
+        up1, _ = tx.update(g, st, params)
+        up2, _ = tx.update(g, st2, params)
+        for a, b in zip(jax.tree_util.tree_leaves(up1),
+                        jax.tree_util.tree_leaves(up2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        import jax.numpy as jnp
+        import optax
+        import pytest
+
+        from vggt_slam_tpu.tools.train_tiny import (load_train_state,
+                                                    save_train_state)
+
+        tx = optax.adam(1e-3)
+        st = tx.init({"w": jnp.ones((3,))})
+        path = str(tmp_path / "opt.npz")
+        save_train_state(st, 1, path)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            load_train_state(tx.init({"w": jnp.ones((4,))}), path)

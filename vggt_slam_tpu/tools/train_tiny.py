@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 
-def build_cfg(model_size: str, on_tpu: bool):
+def build_cfg(model_size: str, on_tpu: bool, attn_impl: str | None = None):
     import jax.numpy as jnp
 
     from vggt_slam_tpu.models.vggt.config import VGGTConfig
@@ -38,7 +38,10 @@ def build_cfg(model_size: str, on_tpu: bool):
     kw = dict(
         # Differentiable flash attention (custom VJP + Pallas backward
         # kernels) on TPU; CPU differentiates through the chunked XLA path.
-        attn_impl="flash_grad" if on_tpu else "chunked",
+        # --attn_impl overrides (r4: sustained small64 flash_grad training
+        # reliably crashes the axon worker every ~200 steps; chunked XLA
+        # sidesteps the Pallas backward kernels entirely).
+        attn_impl=attn_impl or ("flash_grad" if on_tpu else "chunked"),
         enable_point_head=False,     # eval CLI unprojects from depth
         global_kv_stride=1,          # train with exact attention
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
@@ -53,6 +56,39 @@ def build_cfg(model_size: str, on_tpu: bool):
     if model_size == "small64":
         return VGGTConfig.small64(**kw)
     return VGGTConfig.tiny(img_size=518, **kw)
+
+
+def save_train_state(opt_state, step: int, path: str) -> None:
+    """Optimizer state + step index as a flat npz (crash-resume support).
+
+    The auto-resume wrapper restarts training after axon worker crashes;
+    param-only resume (load_checkpoint) restarts Adam moments and the LR
+    schedule from scratch each attempt, which under a ~200-step crash
+    cadence degenerates into a series of warmup runs. Persisting the
+    optax state (whose ScaleByAdamState.count also drives the schedule)
+    makes resume a true continuation.
+    """
+    import jax
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez(path, step=np.int64(step),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_train_state(opt_state_template, path: str):
+    """-> (opt_state, step) restored into the template's tree structure."""
+    import jax
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    for i, (a, b) in enumerate(zip(loaded, leaves)):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(f"opt state leaf {i} shape mismatch: "
+                             f"{np.shape(a)} vs {np.shape(b)}")
+    import jax.numpy as jnp
+    restored = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(a, dtype=b.dtype) for a, b in
+                  zip(loaded, leaves)])
+    return restored, int(data["step"])
 
 
 def make_loss_fn(cfg, pose_weight: float, conf_alpha: float):
@@ -98,7 +134,13 @@ def main():
     p.add_argument("--val_every", type=int, default=250)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", default=None,
-                   help="checkpoint.npz to warm-start params from")
+                   help="checkpoint.npz to warm-start params from; if a "
+                        "sibling <stem>_opt.npz exists, optimizer state + "
+                        "step index are restored too (true continuation)")
+    p.add_argument("--attn_impl", default=None,
+                   choices=["flash_grad", "chunked"],
+                   help="override the attention implementation (default: "
+                        "flash_grad on TPU, chunked elsewhere)")
     args = p.parse_args()
 
     import jax
@@ -113,7 +155,7 @@ def main():
 
     enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
-    cfg = build_cfg(args.model_size, on_tpu)
+    cfg = build_cfg(args.model_size, on_tpu, args.attn_impl)
     H, W = args.image_hw
     os.makedirs(args.out, exist_ok=True)
 
@@ -135,6 +177,15 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(args.clip),
                      optax.adamw(sched, weight_decay=args.weight_decay))
     opt_state = tx.init(params)
+    start_step = 1
+    if args.resume:
+        opt_path = (args.resume[:-4] if args.resume.endswith(".npz")
+                    else args.resume) + "_opt.npz"
+        if os.path.exists(opt_path):
+            opt_state, last_step = load_train_state(opt_state, opt_path)
+            start_step = last_step + 1
+            print(f"resumed opt state + step {last_step} from {opt_path}",
+                  flush=True)
 
     loss_fn = make_loss_fn(cfg, args.pose_weight, args.conf_alpha)
 
@@ -167,7 +218,7 @@ def main():
     batch_q: "queue.Queue" = queue.Queue(maxsize=3)
 
     def producer():
-        for step in range(1, args.steps + 1):
+        for step in range(start_step, args.steps + 1):
             batch_q.put(get_batch(args.seed * 10_000_000 + step))
 
     threading.Thread(target=producer, daemon=True).start()
@@ -187,7 +238,7 @@ def main():
     t_start = time.time()
     pending = None  # (step, handles) - read back one step late (async)
 
-    for step in range(1, args.steps + 1):
+    for step in range(start_step, args.steps + 1):
         batch = batch_q.get()
         params, opt_state, loss, aux = train_step(params, opt_state, batch)
         if pending is not None:
@@ -221,6 +272,8 @@ def main():
 
         if step % args.ckpt_every == 0:
             save_checkpoint(params, os.path.join(args.out, "last.npz"))
+            save_train_state(opt_state, step,
+                             os.path.join(args.out, "last_opt.npz"))
 
     # Flush the last step's pending train row (the delayed-readback scheme
     # above is always one step behind; without this the final step's
@@ -236,6 +289,8 @@ def main():
             print(row, flush=True)
 
     save_checkpoint(params, os.path.join(args.out, "last.npz"))
+    save_train_state(opt_state, args.steps,
+                     os.path.join(args.out, "last_opt.npz"))
     print(f"done: best val_loss {best_val:.4f}; checkpoint at {ckpt_path}",
           flush=True)
 
