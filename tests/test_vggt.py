@@ -188,21 +188,33 @@ class TestGlobalKVMerging:
 
         from vggt_slam_tpu.models.vggt.aggregator import (
             _check_fatal_merge_family)
-        small16 = VGGTConfig.small(global_kv_stride=16, global_merge="sim")
+        small16 = VGGTConfig.small(global_kv_stride=16, global_merge="sim",
+                                   attn_impl="flash")
         with pytest.raises(RuntimeError, match="fatal"):
             _check_fatal_merge_family(small16, "tpu")
-        # not fatal: CPU backend, stride 8, flagship width
+        # not fatal: CPU backend, stride 8 at D=32, flagship width, and
+        # the chunked-XLA fallback (every measured crash ran the flash
+        # fusion context; chunked+sim ran a full eval sequence clean).
         _check_fatal_merge_family(small16, "cpu")
         _check_fatal_merge_family(
-            VGGTConfig.small(global_kv_stride=8, global_merge="sim"), "tpu")
+            VGGTConfig.small(global_kv_stride=8, global_merge="sim",
+                             attn_impl="flash"), "tpu")
         _check_fatal_merge_family(
-            VGGTConfig.vggt_1b(global_kv_stride=16, global_merge="sim"),
-            "tpu")
-        # small64 shares the fatal agg_dim=128 merge-glue width: guarded.
+            VGGTConfig.vggt_1b(global_kv_stride=16, global_merge="sim",
+                               attn_impl="flash"), "tpu")
+        _check_fatal_merge_family(
+            VGGTConfig.small64(global_kv_stride=8, global_merge="sim",
+                               attn_impl="chunked"), "tpu")
+        # small64 (D=64) extends the family DOWN to stride 8 under flash
+        # (r4: 2/2 worker crashes at the eval config, clean at stride 1).
         with pytest.raises(RuntimeError, match="fatal"):
             _check_fatal_merge_family(
-                VGGTConfig.small64(global_kv_stride=16, global_merge="sim"),
-                "tpu")
+                VGGTConfig.small64(global_kv_stride=16, global_merge="sim",
+                                   attn_impl="flash"), "tpu")
+        with pytest.raises(RuntimeError, match="fatal"):
+            _check_fatal_merge_family(
+                VGGTConfig.small64(global_kv_stride=8, global_merge="sim",
+                                   attn_impl="flash"), "tpu")
         os.environ["VGGT_ALLOW_FATAL_MERGE"] = "1"
         try:
             _check_fatal_merge_family(small16, "tpu")

@@ -32,26 +32,36 @@ import os
 import subprocess
 import sys
 
-# (name, global_kv_stride, global_softmax): exact/online is the reference
-# semantics; merged8/static is the single-chip headline operating point
-# (the CLI/bench default); the mixed configs isolate each knob's
-# contribution, and the stride-4 pair is the conservative merge point.
+# (name, global_kv_stride, global_softmax, attn_impl): exact/online is
+# the reference semantics; merged8/static is the single-chip headline
+# operating point (the CLI/bench default); the mixed configs isolate each
+# knob's contribution, and the stride-4 pair is the conservative merge
+# point. attn_impl=None follows the backend default (flash on TPU).
 CONFIGS = [
-    ("exact_online", 1, "online"),
-    ("exact_static", 1, "static"),
-    ("merged_online", 4, "online"),
-    ("merged_static", 4, "static"),
-    ("merged8_online", 8, "online"),
-    ("merged8_static", 8, "static"),
+    ("exact_online", 1, "online", None),
+    ("exact_static", 1, "static", None),
+    ("merged_online", 4, "online", None),
+    ("merged_static", 4, "static", None),
+    ("merged8_online", 8, "online", None),
+    ("merged8_static", 8, "static", None),
+    # Impl-tagged pair for the D=64 (small64) A/B: sim-merge under the
+    # FLASH fusion context at agg_dim<=128/D=64 is in the measured
+    # worker-fatal family at stride>=8 (ARCHITECTURE.md section 9), so
+    # the merge knob is isolated impl-matched under chunked XLA attention
+    # (parity-tested vs flash; softmax knob does not exist there - the
+    # XLA softmax is exact by construction).
+    ("exact_chunked", 1, "online", "chunked"),
+    ("merged8_chunked", 8, "online", "chunked"),
     # stride-16 sensitivity probes (not the shipped default; run via
     # --configs merged16_online merged16_static to a separate artifact).
     # CAUTION: at small/small64 widths (agg_dim 128) the SIM-merge glue
-    # at stride 16 is the measured TPU-worker-fatal family (r4 bisect,
-    # ARCHITECTURE.md section 9) - the model now raises instead of
-    # wedging the chip; set VGGT_ALLOW_FATAL_MERGE=1 to re-probe
-    # deliberately on a newer runtime. The flagship width is clean.
-    ("merged16_online", 16, "online"),
-    ("merged16_static", 16, "static"),
+    # under flash at stride 16 is the measured TPU-worker-fatal family
+    # (r4 bisect, ARCHITECTURE.md section 9) - the model now raises
+    # instead of wedging the chip; set VGGT_ALLOW_FATAL_MERGE=1 to
+    # re-probe deliberately on a newer runtime. The flagship width is
+    # clean.
+    ("merged16_online", 16, "online", None),
+    ("merged16_static", 16, "static", None),
 ]
 
 # Sequence seeds: the trainer's stream uses seeds 1..steps (seed 0 run)
@@ -74,7 +84,7 @@ def generate_sequences(root: str, n: int, n_frames: int,
     return dirs
 
 
-def run_config(name: str, stride: int, softmax: str, seq_root: str,
+def run_config(name: str, stride: int, softmax: str, impl, seq_root: str,
                seqs: list[str], args) -> list[dict]:
     # Per-config rows persist next to the output CSV so a multi-hour
     # sweep interrupted by a worker crash resumes from the last finished
@@ -112,6 +122,8 @@ def run_config(name: str, stride: int, softmax: str, seq_root: str,
                "--out", out_csv]
         if args.checkpoint:
             cmd += ["--checkpoint", args.checkpoint]
+        if impl or args.attn_impl:
+            cmd += ["--attn_impl", impl or args.attn_impl]
         print(f"[{name}] {' '.join(cmd)}", flush=True)
         # The axon worker can crash mid-run and cycle for minutes
         # (ARCHITECTURE.md §9); retry the config once after waiting for
@@ -146,13 +158,14 @@ def run_config(name: str, stride: int, softmax: str, seq_root: str,
         r["config"] = name
         r["global_kv_stride"] = stride
         r["global_softmax"] = softmax
+        r["attn_impl"] = impl or args.attn_impl or "default"
     return rows
 
 
 def summarize(rows: list[dict]) -> list[dict]:
     import numpy as np
     out = []
-    for name, stride, softmax in CONFIGS:
+    for name, stride, softmax, _impl in CONFIGS:
         ates = [float(r["ate_rmse"]) for r in rows
                 if r["config"] == name and r.get("ate_rmse") not in (None, "")]
         if not ates:
@@ -226,6 +239,13 @@ def main():
     p.add_argument("--conf_threshold", type=float, default=25)
     p.add_argument("--configs", nargs="+", default=None,
                    help="subset of config names to run")
+    p.add_argument("--attn_impl", default=None,
+                   choices=[None, "flash", "chunked"],
+                   help="attention implementation for every config (the "
+                        "merge A/B measures K/V-merging SEMANTICS, which "
+                        "are impl-independent and parity-tested; chunked "
+                        "is the fallback when the small-width flash "
+                        "geometry is in the axon worker fault family)")
     p.add_argument("--out", default="evals/results/ab_attention.csv")
     args = p.parse_args()
 
@@ -235,10 +255,11 @@ def main():
     print(f"{len(seqs)} sequences under {args.seq_root}", flush=True)
 
     rows = []
-    for name, stride, softmax in CONFIGS:
+    for name, stride, softmax, impl in CONFIGS:
         if args.configs and name not in args.configs:
             continue
-        rows += run_config(name, stride, softmax, args.seq_root, seqs, args)
+        rows += run_config(name, stride, softmax, impl, args.seq_root,
+                           seqs, args)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     keys = sorted({k for r in rows for k in r})
@@ -263,12 +284,15 @@ def main():
     # baseline present in this run (merged8_static - exact_* is the
     # headline's accuracy evidence).
     pairs = []
-    for base in ("exact_online", "exact_static"):
+    for base in ("exact_online", "exact_static", "exact_chunked"):
         pairs += paired_deltas(rows, base)
     for prow in pairs:
         tag = (" (headline vs reference semantics)"
                if prow["config"] == "merged8_static"
                and prow["base"] == "exact_online" else "")
+        tag = tag or (" (merge knob, impl-matched)"
+                      if prow["config"] == "merged8_chunked"
+                      and prow["base"] == "exact_chunked" else "")
         print(f"{prow['config']} - {prow['base']}: "
               f"{prow['delta_mean_m']:+.4f} m "
               f"[95% CI {prow['delta_ci95_lo_m']:+.4f}, "

@@ -64,6 +64,8 @@ def _slam_flags(image_dir: str, args, log_path: str) -> list[str]:
     flags += ["--global_kv_stride", str(args.global_kv_stride)]
     if args.global_softmax:
         flags += ["--global_softmax", args.global_softmax]
+    if args.attn_impl:
+        flags += ["--attn_impl", args.attn_impl]
     if args.keyframe_backend:
         flags += ["--keyframe_backend", args.keyframe_backend]
     if args.retrieval_backend:
@@ -146,6 +148,10 @@ def main():
     p.add_argument("--global_kv_stride", type=int, default=1)
     p.add_argument("--global_softmax", default=None,
                    choices=[None, "online", "static"])
+    p.add_argument("--attn_impl", default=None,
+                   choices=[None, "flash", "chunked"],
+                   help="forwarded to main.py (chunked = the XLA fallback "
+                        "for flash geometries in the axon fault family)")
     p.add_argument("--keyframe_backend", default=None,
                    choices=[None, "auto", "cv2", "jax"])
     p.add_argument("--retrieval_backend", default=None,

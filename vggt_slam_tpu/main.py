@@ -103,6 +103,15 @@ parser.add_argument("--qk_int8", action="store_true",
                          "MXU path (measured: +1.2%% FPS merged, -3.6%% "
                          "exact vs the default bf16; max |err| ~1e-3 vs "
                          "f32 instead of ~2e-4 - see config.global_qk_int8)")
+parser.add_argument("--attn_impl", type=str, default=None,
+                    choices=["flash", "chunked"],
+                    help="attention implementation override (default: "
+                         "flash Pallas kernels on TPU, chunked XLA "
+                         "elsewhere). The two are parity-tested "
+                         "(tests/test_attention.py); chunked is the "
+                         "fallback when a narrow-width flash geometry "
+                         "hits the axon worker fault family "
+                         "(ARCHITECTURE.md section 9)")
 parser.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the run here")
 parser.add_argument("--no_pipeline", action="store_true",
@@ -136,6 +145,8 @@ def build_model_fn(args):
     from vggt_slam_tpu.models.vggt.convert import load_checkpoint
 
     on_tpu = jax.default_backend() == "tpu"
+    attn_impl = (getattr(args, "attn_impl", None)
+                 or ("flash" if on_tpu else "chunked"))
     stride = getattr(args, "global_kv_stride", 1)
     # In the default depth-unprojection mode the point head's (3,S,H,W) map
     # is never consumed (registration unprojects from depth, reference
@@ -148,18 +159,19 @@ def build_model_fn(args):
     if getattr(args, "global_softmax", None):
         sm_kw["global_softmax"] = args.global_softmax
     if args.model_size == "tiny":
-        cfg = VGGTConfig.tiny(img_size=518, global_kv_stride=stride,
+        cfg = VGGTConfig.tiny(img_size=518, attn_impl=attn_impl,
+                              global_kv_stride=stride,
                               global_merge=merge, global_qk_int8=qk_int8,
                               enable_point_head=point_head, **sm_kw)
     elif args.model_size in ("small", "small64"):
         mk = (VGGTConfig.small64 if args.model_size == "small64"
               else VGGTConfig.small)
-        cfg = mk(attn_impl="flash" if on_tpu else "chunked",
+        cfg = mk(attn_impl=attn_impl,
                  global_kv_stride=stride, global_merge=merge,
                  global_qk_int8=qk_int8,
                  enable_point_head=point_head, **sm_kw)
     else:
-        cfg = VGGTConfig.vggt_1b(attn_impl="flash" if on_tpu else "chunked",
+        cfg = VGGTConfig.vggt_1b(attn_impl=attn_impl,
                                  global_kv_stride=stride, global_merge=merge,
                                  global_qk_int8=qk_int8,
                                  enable_point_head=point_head, **sm_kw)

@@ -236,12 +236,25 @@ def _check_fatal_merge_family(cfg, backend: str) -> None:
     import os
     if backend != "tpu" or os.environ.get("VGGT_ALLOW_FATAL_MERGE") == "1":
         return
-    if cfg.global_kv_stride >= 16 and cfg.agg_dim <= 128:
+    head_dim = cfg.agg_dim // cfg.agg_heads
+    # Measured members (each crash = a 15-40 min worker restart loop):
+    #   stride>=16, agg_dim<=128, D=32 (r3 3x + r4 bisect 1x);
+    #   stride>=8,  agg_dim<=128, D=64 (r4: small64 eval, 2/2 crashes,
+    #   while the SAME config at stride 1 ran a full eval sequence clean).
+    # Clean members bounding the family: stride 8 at D=32 (the whole r3
+    # ab_attention_s8 artifact) and every agg_dim>=1024 config.
+    # All measured crashes ran the flash kernel path around the glue; the
+    # chunked-XLA fallback changes the fusion context entirely and is the
+    # escape hatch (--attn_impl chunked), so only flash impls are fenced.
+    fatal = "flash" in cfg.attn_impl and cfg.agg_dim <= 128 and (
+        cfg.global_kv_stride >= 16
+        or (cfg.global_kv_stride >= 8 and head_dim >= 64))
+    if fatal:
         raise RuntimeError(
             f"global_merge='sim' at global_kv_stride={cfg.global_kv_stride} "
-            f"with agg_dim={cfg.agg_dim} is the measured TPU-worker-fatal "
-            "family on this runtime (crashes the worker into a 15-40 min "
-            "restart loop; see ARCHITECTURE.md §9 and scripts/"
-            "repro_stride16_forward.py). Use --global_merge stride, "
-            "--global_kv_stride 8, or set VGGT_ALLOW_FATAL_MERGE=1 to "
-            "re-probe deliberately.")
+            f"with agg_dim={cfg.agg_dim} (head_dim {head_dim}) is the "
+            "measured TPU-worker-fatal family on this runtime (crashes the "
+            "worker into a 15-40 min restart loop; see ARCHITECTURE.md §9 "
+            "and scripts/repro_stride16_forward.py). Use --global_merge "
+            "stride, --attn_impl chunked, a smaller stride, or set "
+            "VGGT_ALLOW_FATAL_MERGE=1 to re-probe deliberately.")
