@@ -204,3 +204,17 @@ if __name__ == "__main__":
         with open(os.path.join(DATA_DIR, "manifest_salad.json"), "w") as f:
             json.dump(salad_manifest(), f, indent=1)
         print("manifests written to", DATA_DIR)
+
+
+class TestTorchBf16StateDict:
+    def test_bf16_tensor_converts(self):
+        """The released VGGT-1B stores bf16; torch refuses .numpy() on
+        bf16, so the converter must upcast (found by the r4 1B load
+        rehearsal crashing in convert_torch_state_dict)."""
+        torch = pytest.importorskip("torch")
+        t = torch.randn(4, 8).to(torch.bfloat16)
+        tmpl = {"head": {"kernel": jnp.zeros((8, 4), jnp.float32)}}
+        params, report = C.convert_torch_state_dict({"head.weight": t}, tmpl)
+        assert report["unmatched_flax"] == []
+        np.testing.assert_allclose(np.asarray(params["head"]["kernel"]),
+                                   t.float().numpy().T)

@@ -210,7 +210,21 @@ def convert_torch_state_dict(state_dict: dict, params_template):
     (`_structural_transforms`). Returns (params, report) where report lists
     unmatched flax paths and unused torch keys.
     """
-    flat_t = {k: np.asarray(v) for k, v in state_dict.items()}
+    def _to_numpy(v):
+        # torch refuses tensor.numpy() on bf16 — and the released
+        # facebook/VGGT-1B checkpoint stores bf16 (found by the r4 1B
+        # load rehearsal, scripts/rehearse_1b_load.py). Upcast to f32
+        # (exact for bf16); load_checkpoint re-casts to the template's
+        # param dtype anyway.
+        if hasattr(v, "detach"):
+            v = v.detach().cpu()
+            try:
+                return v.numpy()
+            except TypeError:
+                return v.float().numpy()
+        return np.asarray(v)
+
+    flat_t = {k: _to_numpy(v) for k, v in state_dict.items()}
     _structural_transforms(flat_t)
     used = set()
     unmatched = []
