@@ -121,11 +121,9 @@ def salad_manifest(scfg=None) -> dict:
     return {k: list(v.shape) for k, v in m.state_dict().items()}
 
 
-def _allowed_unused_vggt(key: str) -> bool:
-    return (key == "aggregator.patch_embed.mask_token"
-            or key.startswith("aggregator._resnet_")
-            or ".scratch.refinenet4.resConfUnit1." in key
-            or key.startswith("track_head."))
+# One source of truth with the converter + 1B load rehearsal.
+from vggt_slam_tpu.models.vggt.convert import \
+    allowed_unused_vggt as _allowed_unused_vggt  # noqa: E402
 
 
 def _allowed_unused_salad(key: str) -> bool:

@@ -73,6 +73,19 @@ def load_checkpoint(path: str, params_template):
 # Torch -> flax mapping
 # ----------------------------------------------------------------------------
 
+def allowed_unused_vggt(key: str) -> bool:
+    """Checkpoint keys the converter legitimately drops: DINOv2's unused
+    mask_token, the aggregator's resnet-normalization buffers (folded
+    into preprocessing here), DPT's famously-dead refinenet4.resConfUnit1
+    (never called in the reference forward), and the tracking head (out
+    of SLAM scope, SURVEY §2.2). Shared by the manifest coverage test and
+    the 1B load rehearsal so the allowlist has one source of truth."""
+    return (key == "aggregator.patch_embed.mask_token"
+            or key.startswith("aggregator._resnet_")
+            or ".scratch.refinenet4.resConfUnit1." in key
+            or key.startswith("track_head."))
+
+
 def _torch_name_candidates(flax_path: str) -> list[str]:
     """Map one flax param path to the public facebookresearch/vggt
     state-dict name.
