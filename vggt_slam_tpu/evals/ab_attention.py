@@ -52,6 +52,12 @@ CONFIGS = [
     # XLA softmax is exact by construction).
     ("exact_chunked", 1, "online", "chunked"),
     ("merged8_chunked", 8, "online", "chunked"),
+    # Stride-16 ATE rows (VERDICT r3 item 2's open end): the flash+sim
+    # path at this width is worker-fatal, but chunked XLA runs it clean,
+    # so the stride-16 merge SEMANTICS get their A/B here (paired vs
+    # exact_chunked). The flagship-width flash path at stride 16 is
+    # geometry-clean and benches 33.06 FPS (ARCHITECTURE section 9).
+    ("merged16_chunked", 16, "online", "chunked"),
     # stride-16 sensitivity probes (not the shipped default; run via
     # --configs merged16_online merged16_static to a separate artifact).
     # CAUTION: at small/small64 widths (agg_dim 128) the SIM-merge glue
