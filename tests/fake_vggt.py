@@ -25,7 +25,7 @@ from vggt_slam_tpu.ops import geometry, lie
 class FakeVGGT:
     def __init__(self, w2c_list, K, image_hw=(28, 42), sphere_radius=8.0,
                  scale_schedule=None, conf_value=10.0, depth_noise=0.0,
-                 seed=0):
+                 seed=0, bump_amp=0.0, disjoint_overlap_deg=None):
         self.w2c = [np.asarray(T, dtype=np.float64) for T in w2c_list]
         self.K = np.asarray(K, dtype=np.float64)
         self.image_hw = image_hw
@@ -33,6 +33,28 @@ class FakeVGGT:
         self.scale_schedule = scale_schedule or []
         self.conf_value = conf_value
         self.depth_noise = depth_noise
+        # Direction-dependent radius perturbation (fraction of R). The
+        # plain sphere is rotationally symmetric, so every camera on a
+        # circle sees a projectively CONGRUENT cloud — pixelwise
+        # registration between two arbitrary viewpoints then fits
+        # perfectly even when the viewpoints share no surface, which
+        # makes geometric loop verification untestable. Bumps break the
+        # symmetry; 0 keeps the exact sphere (the default for every
+        # test that predates the gate).
+        self.bump_amp = bump_amp
+        # Emulate the REAL model's failure mode on view-disjoint batch
+        # members (the thing the geometric loop gate exists to catch):
+        # VGGT predicts every frame's pose relative to the batch jointly,
+        # so a retrieved loop frame that shares NO surface with the rest
+        # of the batch gets a hallucinated, arbitrary placement — while
+        # the plain fake reads the frame index and emits globally
+        # consistent geometry for ANY frame set, which makes false loops
+        # harmless and the gate untestable. When set (degrees), a frame
+        # whose viewing direction is further than this from EVERY other
+        # batch frame is predicted at a deterministic WRONG pose
+        # (batch-frame-0's pose composed with a fixed offset) instead of
+        # its true one. None = off (every pre-gate test's behavior).
+        self.disjoint_overlap_deg = disjoint_overlap_deg
         self.calls = 0
         self.rng = np.random.default_rng(seed)
 
@@ -70,6 +92,19 @@ class FakeVGGT:
         disc = b * b - (c @ c - self.R ** 2)
         t_hit = -b + np.sqrt(np.maximum(disc, 0.0))
         X_w = c[None, None, :] + t_hit[..., None] * d_norm
+        if self.bump_amp > 0.0:
+            # Bumped surface S = { u * R * (1 + amp * g(u)) } sampled by
+            # radial projection of the sphere hit (exact for radial
+            # rays, O(amp * fov) otherwise — consistent within a frame,
+            # which is all the fake's contract needs: same-image pairs
+            # stay identical, different-viewpoint pairs sample the same
+            # world surface).
+            u_dir = X_w / (np.linalg.norm(X_w, axis=-1, keepdims=True)
+                           + 1e-12)
+            g = (np.sin(3.1 * u_dir[..., 0] + 1.3)
+                 * np.cos(2.7 * u_dir[..., 1])
+                 + 0.5 * np.sin(4.3 * u_dir[..., 2]))
+            X_w = u_dir * (self.R * (1.0 + self.bump_amp * g))[..., None]
         X_cam = X_w @ Rr.T + t
         return X_cam[..., 2]
 
@@ -85,14 +120,31 @@ class FakeVGGT:
         self.calls += 1
 
         w2c0_inv = np.linalg.inv(self.w2c[idxs[0]])
+        poses = [self.w2c[gi] for gi in idxs]
+        if self.disjoint_overlap_deg is not None and S > 1:
+            # view dir in world = R^T e_z (z-forward camera)
+            dirs = np.stack([T[:3, :3].T @ np.array([0.0, 0.0, 1.0])
+                             for T in poses])
+            cos_thr = np.cos(np.radians(self.disjoint_overlap_deg))
+            offset = np.eye(4)
+            # fixed wrong placement: ~20 deg yaw + a shove
+            cy, sy = np.cos(0.35), np.sin(0.35)
+            offset[:3, :3] = np.array([[cy, 0, sy], [0, 1, 0],
+                                       [-sy, 0, cy]])
+            offset[:3, 3] = [0.3, -0.2, 0.25]
+            for i in range(S):
+                cos_best = max(float(dirs[i] @ dirs[j])
+                               for j in range(S) if j != i)
+                if cos_best < cos_thr:
+                    poses[i] = offset @ self.w2c[idxs[0]]
         extr = np.zeros((S, 3, 4))
         depth = np.zeros((S, H, W, 1))
         for i, gi in enumerate(idxs):
-            T = self.w2c[gi] @ w2c0_inv   # vggt-frame -> cam_i
+            T = poses[i] @ w2c0_inv   # vggt-frame -> cam_i
             T = T.copy()
             T[:3, 3] *= scale
             extr[i] = T[:3, :]
-            d = self._depth_for(self.w2c[gi]) * scale
+            d = self._depth_for(poses[i]) * scale
             if self.depth_noise > 0:
                 d = d + self.rng.normal(scale=self.depth_noise, size=d.shape)
             depth[i, :, :, 0] = d

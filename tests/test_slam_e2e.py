@@ -175,6 +175,103 @@ class TestLoopClosure:
         assert solver.graph.get_num_loops() >= 1
 
 
+class TestLoopGeometricGate:
+    """Registration-RANSAC loop verification (slam/solver.py
+    loop_inlier_thresh): a retrieval FALSE POSITIVE — image content that
+    matches an old frame while the camera is somewhere else entirely —
+    must not become a graph factor. The reference has no counterpart
+    (solver.py:355-357 accepts every hit under the 0.80 descriptor bar;
+    its SALAD is trained), but the weight-free tiny backend ships at
+    0.31-0.83 precision (evals/results/retrieval_quality.csv), so the
+    gate is what keeps its false hits out of the SL(4) graph."""
+
+    def _run(self, loop_inlier_thresh):
+        # Circular trajectory with NO true revisit; the last frame's image
+        # CONTENT is copied from frame 0, so the content-hash descriptor
+        # fires a loop against submap 0 while the predicted geometry
+        # (driven by the poses, not the pixels) is inconsistent with it.
+        n = 12
+        w2c = circular_trajectory(n)
+        K = default_K(IMAGE_HW)
+        model = FakeVGGT(w2c, K, image_hw=IMAGE_HW, bump_amp=0.15,
+                         disjoint_overlap_deg=60.0)
+        solver = Solver(
+            init_conf_threshold=25.0,
+            retrieval=ImageRetrieval(descriptor_fn=cheap_descriptor),
+            loop_inlier_thresh=loop_inlier_thresh)
+        frames = [model.make_image(i) for i in range(n)]
+        frames[-1][1:, 5:, 5:] = frames[0][1:, 5:, 5:]
+
+        subset, detected_any = [], False
+        for i in range(n):
+            subset.append(i)
+            if len(subset) == 4 or i == n - 1:
+                images = np.stack([frames[j] for j in subset])
+                preds = solver.run_predictions(
+                    images, model, max_loops=1,
+                    names=[f"{j}.png" for j in subset])
+                detected_any |= len(preds["detected_loops"]) > 0
+                solver.add_points(preds)
+                solver.graph.optimize()
+                solver.map.update_submap_homographies(solver.graph)
+                subset = subset[-1:]
+        assert detected_any, "false loop was never retrieved (test setup)"
+        return solver, w2c
+
+    def test_false_loop_rejected_ate_unchanged(self):
+        gated, w2c = self._run(loop_inlier_thresh=0.9)
+        assert gated.rejected_loop_count >= 1
+        assert gated.graph.get_num_loops() == 0
+        err = ate_rmse(gated, w2c)
+        assert err < 0.02, f"gated ATE {err}"
+
+    def test_ungated_false_loop_is_harmful(self):
+        # The control: without the gate the false factor lands and drags
+        # the trajectory — the measured harm that justifies the gate.
+        ungated, w2c = self._run(loop_inlier_thresh=0.0)
+        assert ungated.graph.get_num_loops() >= 1
+        gated, _ = self._run(loop_inlier_thresh=0.9)
+        assert ate_rmse(ungated, w2c) > 5 * ate_rmse(gated, w2c)
+
+    def test_true_loop_survives_gate(self):
+        # TestLoopClosure's genuine-revisit scenario, with the gate ON:
+        # the factor must still be inserted.
+        n = 12
+        w2c = circular_trajectory(n)
+        w2c[-1] = w2c[0]
+        w2c[-2] = w2c[1]
+        K = default_K(IMAGE_HW)
+        model = FakeVGGT(w2c, K, image_hw=IMAGE_HW, bump_amp=0.15,
+                         disjoint_overlap_deg=60.0)
+        solver = Solver(
+            init_conf_threshold=25.0,
+            retrieval=ImageRetrieval(descriptor_fn=cheap_descriptor),
+            loop_inlier_thresh=0.9)
+        frames = [model.make_image(i) for i in range(n)]
+        frames[-1][1:, 5:, 5:] = frames[0][1:, 5:, 5:]
+        frames[-2][1:, 5:, 5:] = frames[1][1:, 5:, 5:]
+        subset = []
+        loops_before_last = 0
+        for i in range(n):
+            subset.append(i)
+            if len(subset) == 4 or i == n - 1:
+                images = np.stack([frames[j] for j in subset])
+                preds = solver.run_predictions(
+                    images, model, max_loops=1,
+                    names=[f"{j}.png" for j in subset])
+                loops_before_last = solver.graph.get_num_loops()
+                solver.add_points(preds)
+                solver.graph.optimize()
+                solver.map.update_submap_homographies(solver.graph)
+                subset = subset[-1:]
+        # The LAST submap holds the genuine revisit (frames 10/11 repeat
+        # poses 1/0); its loop factor must survive the gate. Spurious
+        # content matches in EARLIER submaps (the random textures
+        # cluster under the cheap descriptor) may be rightfully gated —
+        # only the true loop's acceptance is asserted.
+        assert solver.graph.get_num_loops() > loops_before_last
+
+
 class TestPipelinedLoop:
     """Dispatch-ahead pipeline (main.py default): submap k+1 is dispatched
     before submap k is integrated. Must produce bit-identical maps to the

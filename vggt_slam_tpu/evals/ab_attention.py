@@ -58,6 +58,15 @@ CONFIGS = [
     # exact_chunked). The flagship-width flash path at stride 16 is
     # geometry-clean and benches 33.06 FPS (ARCHITECTURE section 9).
     ("merged16_chunked", 16, "online", "chunked"),
+    # The COMPOSITE shipped operating point (VERDICT r4 item 1): flash
+    # impl + sim merge + static-max softmax TOGETHER — exactly the CLI /
+    # bench default stack — vs the flash exact/online reference
+    # semantics. Runnable at D=64 via model_size=small256 (agg_dim 256,
+    # 4 heads: outside the worker-fatal family, probed clean at stride
+    # 8 AND 16, evals/results/fence_probe.csv). Closes the round-4 gap
+    # where the composite was only argued from knob isolations.
+    ("merged8_flash_full", 8, "static", "flash"),
+    ("merged16_flash_full", 16, "static", "flash"),
     # stride-16 sensitivity probes (not the shipped default; run via
     # --configs merged16_online merged16_static to a separate artifact).
     # CAUTION: at small/small64 widths (agg_dim 128) the SIM-merge glue
@@ -126,6 +135,8 @@ def run_config(name: str, stride: int, softmax: str, impl, seq_root: str,
                "--retrieval_backend", "tiny",
                "--in_process",
                "--out", out_csv]
+        if args.loop_inlier_thresh is not None:
+            cmd += ["--loop_inlier_thresh", str(args.loop_inlier_thresh)]
         if args.checkpoint:
             cmd += ["--checkpoint", args.checkpoint]
         if impl or args.attn_impl:
@@ -219,11 +230,16 @@ def paired_deltas(rows: list[dict], base: str, n_boot: int = 20000,
         d = np.array([by[name][k] - by[base][k] for k in keys])
         boots = rng.choice(d, size=(n_boot, len(d)), replace=True).mean(1)
         lo, hi = np.percentile(boots, [2.5, 97.5])
+        # Tail quantiles alongside the mean CI (VERDICT r4 item 4: the
+        # bootstrap bounds the MEAN only; per-sequence worst cases are
+        # what a user hits on any one run).
         out.append({"config": name, "base": base, "n_pairs": len(d),
                     "delta_mean_m": round(float(d.mean()), 6),
                     "delta_ci95_lo_m": round(float(lo), 6),
                     "delta_ci95_hi_m": round(float(hi), 6),
+                    "delta_p90_m": round(float(np.percentile(d, 90)), 6),
                     "delta_max_m": round(float(d.max()), 6),
+                    "worst_sequence": keys[int(np.argmax(d))][0],
                     "frac_sequences_worse": round(float((d > 0).mean()), 3)})
     return out
 
@@ -243,6 +259,11 @@ def main():
                         "length (train_tiny --frames 10)")
     p.add_argument("--min_disparity", type=float, default=20)
     p.add_argument("--conf_threshold", type=float, default=25)
+    p.add_argument("--loop_inlier_thresh", type=float, default=None,
+                   help="forwarded to run_eval/main (None = the CLI "
+                        "default geometric gate; pass 0 when extending "
+                        "pre-gate row caches so old and new rows ran the "
+                        "same program)")
     p.add_argument("--configs", nargs="+", default=None,
                    help="subset of config names to run")
     p.add_argument("--attn_impl", default=None,

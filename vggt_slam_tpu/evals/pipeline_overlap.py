@@ -1,0 +1,170 @@
+"""Prove the host-side work hides under the dispatch-ahead pipeline.
+
+The reference amortizes per-frame host work trivially — one GPU, a serial
+loop (reference main.py:86-130) where the forward dominates. This build's
+headline FPS instead rests on the dispatch-ahead pipeline (main.py:
+dispatch submap k+1's forward, then integrate submap k on host while the
+device works): the ~10 ms/frame cv2 keyframe gate, image decode, the
+~100 MB prediction readback, RANSAC prep and graph bookkeeping must
+OVERLAP the device forward on this 1-core host, or the 31 FPS bench
+number would not survive a real sustained run (VERDICT r3 item 9 /
+r4 item 2).
+
+This harness measures that on the real chip through the REAL CLI loop
+(main.run_slam, not a mock): a sustained synthetic sequence at the
+flagship operating point (model 1b, submap 32, merged stride 8), run
+  1. once to absorb compiles (discarded),
+  2. once pipelined (the default),
+  3. once with --no_pipeline (the reference-style serial flow),
+all in one process sharing one compiled model. The artifact reports
+end-to-end FPS and per-stage wall for both modes: overlap shows up as
+serial-mode wall ~= host-stage sum + device forward, while pipelined
+wall is close to max(host, device) per submap — the difference is the
+host work the pipeline hides.
+
+CLI (real chip, ~10 min incl. warmup + rendering):
+  python -m vggt_slam_tpu.evals.pipeline_overlap \
+      [--frames 320] [--out evals/results/pipeline_overlap.txt]
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import time
+from contextlib import redirect_stdout
+
+
+def stage_table(timer) -> str:
+    rows = ["    stage                    total_s  calls  mean_ms"]
+    for name in sorted(timer.totals):
+        t, c = timer.totals[name], timer.counts[name]
+        rows.append(f"    {name:<24} {t:7.2f} {c:6d} {1e3 * t / c:8.1f}")
+    return "\n".join(rows)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--frames", type=int, default=320)
+    p.add_argument("--seq_dir", default="/tmp/pipeline_overlap_seq")
+    p.add_argument("--image_hw", type=int, nargs=2, default=(392, 518))
+    p.add_argument("--model_size", default="1b")
+    p.add_argument("--submap_size", type=int, default=32)
+    p.add_argument("--min_disparity", type=float, default=20.0)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--warmup_frames", type=int, default=75)
+    p.add_argument("--out", default="evals/results/pipeline_overlap.txt")
+    args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from vggt_slam_tpu import main as slam_main
+    from vggt_slam_tpu.tools.synth3d import write_tum_sequence
+    from vggt_slam_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if not os.path.exists(os.path.join(args.seq_dir, "groundtruth.txt")):
+        print(f"rendering {args.frames} frames to {args.seq_dir} ...",
+              flush=True)
+        t0 = time.time()
+        write_tum_sequence(args.seq_dir, n_frames=args.frames,
+                           seed=8_000_000, image_hw=tuple(args.image_hw),
+                           kind="loop")
+        print(f"rendered in {time.time() - t0:.0f}s", flush=True)
+
+    base_flags = ["--image_folder", os.path.join(args.seq_dir, "rgb"),
+                  "--timing", "--submap_size", str(args.submap_size),
+                  "--max_loops", "1",
+                  "--min_disparity", str(args.min_disparity),
+                  "--model_size", args.model_size,
+                  "--retrieval_backend", "tiny"]
+    if args.checkpoint:
+        base_flags += ["--checkpoint", args.checkpoint]
+
+    run_args = slam_main.parser.parse_args(base_flags)
+    model_fn = slam_main.build_model_fn(run_args)
+
+    def one_run(extra, label, image_folder=None):
+        flags = list(base_flags) + extra
+        if image_folder:
+            flags[1] = image_folder
+        a = slam_main.parser.parse_args(flags)
+        buf = io.StringIO()
+        print(f"=== {label} ...", flush=True)
+        with redirect_stdout(buf):
+            res = slam_main.run_slam(a, model_fn=model_fn)
+        print(f"=== {label}: {res['fps']:.2f} FPS "
+              f"({res['n_frames']} frames / {res['wall_s']:.1f}s)",
+              flush=True)
+        return res
+
+    # Warmup: absorb the bucketed forward + pose-graph compiles so the
+    # two timed runs below compare steady-state loops, not XLA.
+    warm_dir = os.path.join(args.seq_dir, "rgb")
+    names = sorted(os.listdir(warm_dir))[: args.warmup_frames]
+    warm_sub = os.path.join(args.seq_dir, "warmup_rgb")
+    os.makedirs(warm_sub, exist_ok=True)
+    for n in names:
+        dst = os.path.join(warm_sub, n)
+        if not os.path.exists(dst):
+            os.link(os.path.join(warm_dir, n), dst)
+    one_run([], "warmup (compile absorb)", image_folder=warm_sub)
+
+    pip = one_run([], "pipelined (default)")
+    ser = one_run(["--no_pipeline"], "serial (--no_pipeline)")
+
+    def host_device_split(timer):
+        host = sum(timer.totals.get(k, 0.0) for k in
+                   ("keyframe_gate", "collect_predictions", "add_points",
+                    "graph_optimize", "ap_ransac", "ap_loop_ransac",
+                    "ap_gate_ref", "ap_submap_store"))
+        fwd = (timer.totals.get("dispatch_predictions", 0.0)
+               + timer.totals.get("run_predictions", 0.0))
+        return host, fwd
+
+    ph, pf = host_device_split(pip["timer"])
+    sh, sf = host_device_split(ser["timer"])
+    hidden = ser["wall_s"] - pip["wall_s"]
+
+    lines = [
+        "Pipeline-overlap measurement (real chip, sustained synthetic run)",
+        f"backend={__import__('jax').default_backend()} "
+        f"model={args.model_size} submap={args.submap_size} "
+        f"frames={args.frames} image_hw={tuple(args.image_hw)} "
+        f"stride=8(sim,static-max flash) retrieval=tiny",
+        "",
+        f"PIPELINED (default): {pip['fps']:.2f} FPS end-to-end "
+        f"({pip['n_frames']} frames / {pip['wall_s']:.1f} s); "
+        f"submaps={pip['solver'].map.get_num_submaps()} "
+        f"loops={pip['solver'].graph.get_num_loops()}",
+        stage_table(pip["timer"]),
+        "",
+        f"SERIAL (--no_pipeline): {ser['fps']:.2f} FPS end-to-end "
+        f"({ser['n_frames']} frames / {ser['wall_s']:.1f} s); "
+        f"submaps={ser['solver'].map.get_num_submaps()} "
+        f"loops={ser['solver'].graph.get_num_loops()}",
+        stage_table(ser["timer"]),
+        "",
+        "Accounting:",
+        f"  serial wall {ser['wall_s']:.1f} s ~= host stages {sh:.1f} s "
+        f"+ blocking forward {sf:.1f} s (run_predictions incl. device "
+        f"wait)",
+        f"  pipelined wall {pip['wall_s']:.1f} s with host stages "
+        f"{ph:.1f} s and dispatch {pf:.1f} s: the host work runs WHILE "
+        f"the device computes the dispatched forward",
+        f"  -> the pipeline hides {hidden:.1f} s "
+        f"({1e3 * hidden / max(pip['n_frames'], 1):.1f} ms/frame) of "
+        f"host work; speedup x{ser['wall_s'] / pip['wall_s']:.2f}",
+    ]
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

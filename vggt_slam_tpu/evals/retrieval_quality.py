@@ -38,17 +38,79 @@ import numpy as np
 
 def render_sequence(seed: int, n_frames: int, image_hw: tuple[int, int]):
     """In-memory loop sequence: (frames (S,3,H,W) float[0,1], centers,
-    rotations world->cam)."""
+    rotations world->cam, depths (S,H,W), K)."""
     from vggt_slam_tpu.tools import synth3d
     H, W = image_hw
     scene = synth3d.make_scene(seed=seed)
     centers, rots = synth3d.camera_path(n_frames, seed=seed, kind="loop")
     K = synth3d.camera_intrinsics(H, W)
     frames = np.empty((n_frames, 3, H, W), np.float32)
+    depths = np.empty((n_frames, H, W), np.float32)
     for i in range(n_frames):
-        rgb, _, _ = synth3d.render(scene, centers[i], rots[i], K, (H, W))
+        rgb, depth, _ = synth3d.render(scene, centers[i], rots[i], K, (H, W))
         frames[i] = rgb.transpose(2, 0, 1)
-    return frames, centers, rots
+        depths[i] = depth
+    return frames, centers, rots, depths, K
+
+
+def make_gate_fn(depths: np.ndarray, K: np.ndarray, stride: int = 4,
+                 depth_noise: float = 0.02, seed: int = 0,
+                 ransac_threshold: float = 0.01):
+    """Registration-RANSAC inlier fraction between two frames' clouds.
+
+    Mirrors the Solver's geometric loop gate (slam/solver.py
+    loop_inlier_thresh): unproject each frame's depth to a camera-frame
+    cloud and score the best projective model between them with the
+    PRODUCT RANSAC (ops/homography.ransac_projective, 300 hypotheses /
+    0.01 inlier threshold). A true revisit sees the same surface from a
+    near-identical viewpoint, so a projective map exists and most points
+    are inliers; a false retrieval hit has no consistent mapping.
+    Multiplicative depth noise approximates a trained-model depth error
+    (the product gate runs on predicted, not GT, unprojections); the
+    cloud is pixel-strided for host-side speed.
+
+    Like the Solver, the returned score is the RATIO of the pair's
+    inlier fraction to a same-image reference (the same frame's cloud
+    under two independent noise draws — the harness analog of the
+    Solver's sequential overlap-frame registration), so the gate
+    threshold is noise-level-invariant: true revisits score ~1.0+,
+    false hits below.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_slam_tpu.ops.homography import ransac_projective
+
+    S, H, W = depths.shape
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    rays = np.linalg.inv(K) @ np.stack(
+        [u, v, np.ones_like(u)], 0).reshape(3, -1)  # (3, H*W)
+    rays = rays.reshape(3, H, W)[:, ::stride, ::stride].reshape(3, -1)
+    rng = np.random.default_rng(seed)
+
+    def cloud(i: int) -> np.ndarray:
+        d = depths[i, ::stride, ::stride].reshape(-1)
+        d = d * (1.0 + depth_noise * rng.standard_normal(d.shape))
+        return (rays * d).T.astype(np.float32)  # (N, 3) camera frame
+
+    def frac(qi: int, mi: int, salt: int = 0) -> float:
+        X1, X2 = cloud(qi), cloud(mi)
+        _, count = ransac_projective(
+            jnp.asarray(X1), jnp.asarray(X2),
+            key=jax.random.PRNGKey(qi * S + mi + salt),
+            threshold=ransac_threshold)
+        return float(count) / X1.shape[0]
+
+    # Self-calibration reference: same-image pairs under independent
+    # noise draws (cloud() draws fresh noise each call).
+    ref = float(np.median([frac(i, i, salt=9999)
+                           for i in range(S // 6, S, max(S // 3, 1))]))
+
+    def gate(qi: int, mi: int) -> float:
+        return frac(qi, mi) / max(ref, 1e-9)
+
+    return gate
 
 
 def make_backend(name: str):
@@ -82,7 +144,8 @@ def make_backend(name: str):
 
 def score_sequence(desc: np.ndarray, centers: np.ndarray, rots: np.ndarray,
                    submap_size: int, accept_thresh: float,
-                   dist_thresh: float, ang_thresh_deg: float) -> dict:
+                   dist_thresh: float, ang_thresh_deg: float,
+                   gate_fn=None, gate_thresh: float = 0.9) -> dict:
     """Apply the reference matching rule and score vs pose ground truth."""
     S = desc.shape[0]
     sub_of = np.arange(S) // submap_size
@@ -98,6 +161,7 @@ def score_sequence(desc: np.ndarray, centers: np.ndarray, rots: np.ndarray,
 
     queries = accepted = true_accepted = gt_pos = 0
     top1_accepted = top1_true = 0
+    gate_rows: list[tuple[bool, float]] = []  # (is_true_revisit, inlier_frac)
     for q in range(2, n_sub):
         eligible = np.flatnonzero(sub_of <= q - 2)
         if eligible.size == 0:
@@ -121,38 +185,72 @@ def score_sequence(desc: np.ndarray, centers: np.ndarray, rots: np.ndarray,
             # accepted match per submap is what actually becomes a loop
             # factor (reference LoopMatchQueue + main.py --max_loops 1).
             top1_accepted += 1
-            top1_true += is_revisit(submap_best[1], submap_best[2])
-    return {"queries": queries, "gt_revisit_queries": gt_pos,
-            "accepted": accepted, "true_accepted": true_accepted,
-            "precision": round(true_accepted / accepted, 4)
-            if accepted else "",
-            "recall": round(true_accepted / gt_pos, 4) if gt_pos else "",
-            "accept_rate": round(accepted / queries, 4) if queries else "",
-            "top1_accepted": top1_accepted, "top1_true": top1_true,
-            "top1_precision": round(top1_true / top1_accepted, 4)
-            if top1_accepted else ""}
+            tru = is_revisit(submap_best[1], submap_best[2])
+            top1_true += tru
+            if gate_fn is not None:
+                frac = gate_fn(submap_best[1], submap_best[2])
+                gate_rows.append((bool(tru), frac))
+    out = {"queries": queries, "gt_revisit_queries": gt_pos,
+           "accepted": accepted, "true_accepted": true_accepted,
+           "precision": round(true_accepted / accepted, 4)
+           if accepted else "",
+           "recall": round(true_accepted / gt_pos, 4) if gt_pos else "",
+           "accept_rate": round(accepted / queries, 4) if queries else "",
+           "top1_accepted": top1_accepted, "top1_true": top1_true,
+           "top1_precision": round(top1_true / top1_accepted, 4)
+           if top1_accepted else ""}
+    if gate_fn is not None:
+        # Post-gate numbers at the Solver's operating threshold: a loop
+        # only becomes a graph factor when its registration-RANSAC
+        # inlier fraction clears gate_thresh (slam/solver.py
+        # loop_inlier_thresh). gate_recall = fraction of TRUE top-1
+        # loops that survive the gate (the gate's cost); gate_precision
+        # = precision among survivors (the gate's benefit).
+        kept = [(t, f) for t, f in gate_rows if f >= gate_thresh]
+        kept_true = sum(1 for t, _ in kept if t)
+        n_true = sum(1 for t, _ in gate_rows if t)
+        tf = [f for t, f in gate_rows if t]
+        ff = [f for t, f in gate_rows if not t]
+        out.update({
+            "gate_kept": len(kept),
+            "gate_precision": round(kept_true / len(kept), 4)
+            if kept else "",
+            "gate_recall_of_true": round(kept_true / n_true, 4)
+            if n_true else "",
+            "gate_true_frac_median": round(float(np.median(tf)), 4)
+            if tf else "",
+            "gate_false_frac_median": round(float(np.median(ff)), 4)
+            if ff else "",
+            "gate_fracs": ";".join(f"{int(t)}:{f:.3f}"
+                                   for t, f in gate_rows)})
+    return out
 
 
 def run(backends, n_sequences=3, n_frames=80, image_hw=(196, 256),
         submap_size=8, accept_thresh=0.80, dist_thresh=0.15,
-        ang_thresh_deg=15.0, seed_base=7_000_000):
+        ang_thresh_deg=15.0, seed_base=7_000_000, geometric_gate=False,
+        gate_thresh=0.9):
     rows = []
     for b in backends:
         fn = make_backend(b)
         for s in range(n_sequences):
-            frames, centers, rots = render_sequence(seed_base + s, n_frames,
-                                                    image_hw)
+            frames, centers, rots, depths, K = render_sequence(
+                seed_base + s, n_frames, image_hw)
+            gate_fn = (make_gate_fn(depths, K, seed=seed_base + s)
+                       if geometric_gate else None)
             desc = np.asarray(fn(frames))
             row = {"backend": b, "sequence": s,
                    **score_sequence(desc, centers, rots, submap_size,
                                     accept_thresh, dist_thresh,
-                                    ang_thresh_deg)}
+                                    ang_thresh_deg, gate_fn=gate_fn,
+                                    gate_thresh=gate_thresh)}
             rows.append(row)
-            print(row, flush=True)
+            print({k: v for k, v in row.items() if k != "gate_fracs"},
+                  flush=True)
     return rows
 
 
-def summarize(rows):
+def summarize(rows, gate_thresh: float = 0.9):
     out = []
     for b in sorted({r["backend"] for r in rows}):
         sub = [r for r in rows if r["backend"] == b]
@@ -161,12 +259,27 @@ def summarize(rows):
         gtp = sum(r["gt_revisit_queries"] for r in sub)
         t1a = sum(r["top1_accepted"] for r in sub)
         t1t = sum(r["top1_true"] for r in sub)
-        out.append({"backend": b, "n_sequences": len(sub),
-                    "queries": sum(r["queries"] for r in sub),
-                    "accepted": acc,
-                    "precision": round(tru / acc, 4) if acc else "",
-                    "recall": round(tru / gtp, 4) if gtp else "",
-                    "top1_precision": round(t1t / t1a, 4) if t1a else ""})
+        row = {"backend": b, "n_sequences": len(sub),
+               "queries": sum(r["queries"] for r in sub),
+               "accepted": acc,
+               "precision": round(tru / acc, 4) if acc else "",
+               "recall": round(tru / gtp, 4) if gtp else "",
+               "top1_precision": round(t1t / t1a, 4) if t1a else ""}
+        fracs = []
+        for r in sub:
+            for item in str(r.get("gate_fracs", "")).split(";"):
+                if ":" in item:
+                    t, f = item.split(":")
+                    fracs.append((t == "1", float(f)))
+        if fracs:
+            kept = [(t, f) for t, f in fracs if f >= gate_thresh]
+            kt = sum(1 for t, _ in kept if t)
+            nt = sum(1 for t, _ in fracs if t)
+            row.update({"gate_precision": round(kt / len(kept), 4)
+                        if kept else "",
+                        "gate_recall_of_true": round(kt / nt, 4)
+                        if nt else ""})
+        out.append(row)
     return out
 
 
@@ -181,19 +294,34 @@ def main():
     p.add_argument("--accept_thresh", type=float, default=0.80)
     p.add_argument("--dist_thresh", type=float, default=0.15)
     p.add_argument("--ang_thresh_deg", type=float, default=15.0)
+    p.add_argument("--geometric_gate", action="store_true",
+                   help="additionally score each top-1 accepted match "
+                        "with the Solver's registration-RANSAC inlier "
+                        "gate (slam/solver.py loop_inlier_thresh) and "
+                        "report post-gate precision/recall")
+    p.add_argument("--gate_thresh", type=float, default=0.9)
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force the JAX platform (the axon plugin ignores "
+                        "JAX_PLATFORMS=cpu; this applies the config knob "
+                        "before backend init, CLAUDE.md gotcha)")
     p.add_argument("--out", default="evals/results/retrieval_quality.csv")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     rows = run(args.backends, args.n_sequences, args.n_frames,
                tuple(args.image_hw), args.submap_size, args.accept_thresh,
-               args.dist_thresh, args.ang_thresh_deg)
+               args.dist_thresh, args.ang_thresh_deg,
+               geometric_gate=args.geometric_gate,
+               gate_thresh=args.gate_thresh)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0]))
         w.writeheader()
         w.writerows(rows)
     print(f"wrote {args.out}")
-    for s in summarize(rows):
+    for s in summarize(rows, gate_thresh=args.gate_thresh):
         print(s)
 
 

@@ -50,6 +50,8 @@ def _slam_flags(image_dir: str, args, log_path: str) -> list[str]:
              "--max_loops", str(args.max_loops),
              "--min_disparity", str(args.min_disparity),
              "--conf_threshold", str(args.conf_threshold)]
+    if args.loop_inlier_thresh is not None:
+        flags += ["--loop_inlier_thresh", str(args.loop_inlier_thresh)]
     if args.use_sim3:
         flags.append("--use_sim3")
     if args.checkpoint:
@@ -140,11 +142,16 @@ def main():
     p.add_argument("--max_loops", type=int, default=1)
     p.add_argument("--min_disparity", type=float, default=50)
     p.add_argument("--conf_threshold", type=float, default=25)
+    p.add_argument("--loop_inlier_thresh", type=float, default=None,
+                   help="forwarded to main.py (None = its default, the "
+                        "self-calibrating geometric loop gate at 0.9; "
+                        "0 = reference semantics — pass 0 when extending "
+                        "row caches produced before the gate existed)")
     p.add_argument("--downsample_factor", type=int, default=1)
     p.add_argument("--use_sim3", action="store_true")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--model_size", default="1b",
-                   choices=["1b", "small", "small64", "tiny"])
+                   choices=["1b", "small", "small64", "small256", "tiny"])
     p.add_argument("--global_kv_stride", type=int, default=1)
     p.add_argument("--global_softmax", default=None,
                    choices=[None, "online", "static"])

@@ -32,6 +32,24 @@ parser.add_argument("--overlapping_window_size", type=int, default=1,
 parser.add_argument("--downsample_factor", type=int, default=1)
 parser.add_argument("--max_loops", type=int, default=1)
 parser.add_argument("--min_disparity", type=float, default=50)
+parser.add_argument("--loop_inlier_thresh", type=float, default=0.9,
+                    help="geometric loop verification: reject a retrieval "
+                         "hit whose registration-RANSAC inlier fraction "
+                         "falls below this FRACTION OF the running median "
+                         "of the sequential registrations' inlier "
+                         "fractions (the sequential registration re-"
+                         "registers the same overlap image, so its "
+                         "fraction is the achievable max under the "
+                         "model's noise — the gate self-calibrates). The "
+                         "reference accepts every hit under the 0.80 "
+                         "descriptor bar (its SALAD is trained); the "
+                         "weight-free tiny backend needs the gate "
+                         "(precision 0.31-0.83, evals/results/"
+                         "retrieval_quality.csv). 0 = reference "
+                         "semantics (no gate). Default calibrated on the "
+                         "synthetic revisit harness (retrieval_quality "
+                         "--geometric_gate): true revisits land at ratio "
+                         "1.0-1.08, false hits at 0.27-0.86")
 parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX platform. The TPU plugin ignores "
                          "JAX_PLATFORMS=cpu, so subprocess drivers (smoke "
@@ -71,7 +89,7 @@ parser.add_argument("--retrieval_backend", default="salad",
                          "tiny_image_descriptor_fn) - enables loop closure "
                          "with no external weights")
 parser.add_argument("--model_size", type=str, default="1b",
-                    choices=["1b", "small", "small64", "tiny"],
+                    choices=["1b", "small", "small64", "small256", "tiny"],
                     help="model configuration (small64 = small at the "
                          "flagship D=64 head-dim)")
 parser.add_argument("--global_kv_stride", type=int, default=8,
@@ -163,9 +181,9 @@ def build_model_fn(args):
                               global_kv_stride=stride,
                               global_merge=merge, global_qk_int8=qk_int8,
                               enable_point_head=point_head, **sm_kw)
-    elif args.model_size in ("small", "small64"):
-        mk = (VGGTConfig.small64 if args.model_size == "small64"
-              else VGGTConfig.small)
+    elif args.model_size in ("small", "small64", "small256"):
+        mk = {"small": VGGTConfig.small, "small64": VGGTConfig.small64,
+              "small256": VGGTConfig.small256}[args.model_size]
         cfg = mk(attn_impl=attn_impl,
                  global_kv_stride=stride, global_merge=merge,
                  global_qk_int8=qk_int8,
@@ -254,7 +272,9 @@ def run_slam(args, *, model_fn=None, retrieval=None):
                     vis_stride=args.vis_stride,
                     vis_point_size=args.vis_point_size,
                     keyframe_backend=getattr(args, "keyframe_backend",
-                                             "auto"))
+                                             "auto"),
+                    loop_inlier_thresh=getattr(args, "loop_inlier_thresh",
+                                               0.0))
     if model_fn is None:
         model_fn = build_model_fn(args)
 

@@ -158,6 +158,28 @@ class VGGTConfig:
         return VGGTConfig.small(**base)
 
     @staticmethod
+    def small256(**overrides) -> "VGGTConfig":
+        """small() widened to agg_dim/enc_dim 256 at 4 heads -> D=64, the
+        flagship head-dim, OUTSIDE the measured worker-fatal sim-merge
+        family (which covers agg_dim <= 128; ARCHITECTURE section 9 /
+        aggregator._check_fatal_merge_family). Exists so the SHIPPED
+        composite operating point — flash impl + sim merge stride 8 +
+        static-max softmax — can be A/B'd end-to-end at D=64 on the chip
+        (VERDICT round-4 item 1): the only other trained D=64 width
+        (small64, agg_dim 128) is inside the fence, which forced round 4
+        to isolate the knobs separately under chunked XLA. 4x small64's
+        linear FLOPs, 2x its attention FLOPs (4 heads vs 2)."""
+        base = dict(
+            enc_dim=256, enc_depth=4, enc_heads=4,
+            agg_dim=256, agg_depth=6, agg_heads=4,
+            cam_trunk_depth=2, cam_iterations=4,
+            dpt_layers=(1, 3, 5), dpt_features=64,
+            dpt_out_channels=(64, 128, 128),
+        )
+        base.update(overrides)
+        return VGGTConfig(**base)
+
+    @staticmethod
     def tiny(**overrides) -> "VGGTConfig":
         base = dict(
             img_size=56, patch_size=14,

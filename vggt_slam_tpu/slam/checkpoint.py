@@ -30,6 +30,11 @@ def save_state(solver, directory: str, include_frames: bool = True) -> None:
         "init_conf_threshold": solver.init_conf_threshold,
         "first_edge": solver.first_edge,
         "num_loop_closures": solver.graph.num_loop_closures,
+        # Geometric loop gate (r5): the threshold plus the accumulated
+        # sequential-registration reference fractions, so a resumed run
+        # gates with the same calibration instead of restarting it.
+        "loop_inlier_thresh": solver.loop_inlier_thresh,
+        "seq_reg_fracs": list(solver._seq_reg_fracs),
         "submaps": [],
     }
 
@@ -92,8 +97,12 @@ def load_state(directory: str, retrieval=None, viewer=None):
     solver = Solver(init_conf_threshold=manifest["init_conf_threshold"],
                     use_point_map=manifest["use_point_map"],
                     use_sim3=manifest["use_sim3"],
-                    retrieval=retrieval, viewer=viewer)
+                    retrieval=retrieval, viewer=viewer,
+                    loop_inlier_thresh=manifest.get("loop_inlier_thresh",
+                                                    0.0))
     solver.first_edge = manifest["first_edge"]
+    solver._seq_reg_fracs = [float(x)
+                             for x in manifest.get("seq_reg_fracs", [])]
 
     for meta in manifest["submaps"]:
         sub = Submap(meta["id"])

@@ -47,11 +47,34 @@ class Solver:
                  vis_stride: int = 1,
                  vis_point_size: float = 0.001,
                  seed: int = 0,
-                 keyframe_backend: str = "auto"):
+                 keyframe_backend: str = "auto",
+                 loop_inlier_thresh: float = 0.0):
         self.init_conf_threshold = init_conf_threshold
         self.use_point_map = use_point_map
         self.use_sim3 = use_sim3
         self.viewer = viewer
+        # Geometric loop verification (no reference counterpart — the
+        # reference accepts every retrieval hit under the 0.80 descriptor
+        # bar, solver.py:355-357, viable only because its SALAD is
+        # trained): reject a loop-closure factor when the loop RANSAC's
+        # inlier fraction falls below `loop_inlier_thresh` TIMES the
+        # running median of the SEQUENTIAL registrations' inlier
+        # fractions. The sequential registration re-registers the same
+        # overlap image across two independent forwards, so its fraction
+        # IS the achievable maximum under the current model's depth
+        # noise — normalizing by it makes the gate self-calibrating
+        # (an absolute threshold would need re-tuning per checkpoint /
+        # noise level; calibration data in evals/retrieval_quality.py
+        # --geometric_gate: true revisits land at ratio 1.0-1.08, false
+        # retrieval hits at 0.27-0.86 under 2% depth noise). The
+        # weight-free tiny retrieval backend measures 0.31-0.83
+        # precision on synthetic revisits (evals/results/
+        # retrieval_quality.csv), and an accepted false loop becomes an
+        # SL(4) between-factor at sigma=0.05 that drags the whole
+        # graph. 0 disables (reference semantics).
+        self.loop_inlier_thresh = loop_inlier_thresh
+        self.rejected_loop_count = 0
+        self._seq_reg_fracs: list[float] = []
 
         if keyframe_backend == "auto":
             # Host cv2 everywhere: the gate is 1000 independent 21x21 LK
@@ -228,13 +251,18 @@ class Solver:
         X = np.asarray(X, dtype=np.float32)
         return jnp.asarray(np.ascontiguousarray(X.T)).T
 
-    def _ransac(self, X1, X2, weights=None):
+    def _ransac(self, X1, X2, weights=None, return_inlier_frac=False):
         self._key, sub = jax.random.split(self._key)
-        H, _ = ransac_projective(
+        H, count = ransac_projective(
             self._put_points(X1), self._put_points(X2),
             None if weights is None else jnp.asarray(
                 np.asarray(weights, np.float32)),
             key=sub)
+        if return_inlier_frac:
+            n = (float(np.sum(np.asarray(weights, np.float32)))
+                 if weights is not None else float(len(X1)))
+            return (np.asarray(H, dtype=np.float64),
+                    float(count) / max(n, 1.0))
         return np.asarray(H, dtype=np.float64)
 
     def add_points(self, pred_dict: dict) -> None:
@@ -311,6 +339,18 @@ class Solver:
 
             H_w_submap = prior_submap.get_reference_homography() @ H_relative
 
+            if self.loop_inlier_thresh > 0:
+                # Gate calibration sample: UNWEIGHTED registration of the
+                # overlap frame (the same statistic the loop gate below
+                # computes — the factor RANSAC above is conf-weighted,
+                # which would bias the reference upward). ~20 ms/submap,
+                # only when the gate is enabled.
+                with self._stage("ap_gate_ref"):
+                    _, seq_frac = self._ransac(
+                        current_pts, self.prior_pcd,
+                        return_inlier_frac=True)
+                self._seq_reg_fracs.append(seq_frac)
+
             non_lc = sub.get_last_non_loop_frame_index()
             self.prior_pcd = world_points[non_lc].reshape(-1, 3)
             self.prior_conf = conf[non_lc].reshape(-1)
@@ -329,18 +369,52 @@ class Solver:
         for index, loop in enumerate(detected_loops):
             assert loop.query_submap_id == sub.get_id()
             loop_index = sub.get_last_non_loop_frame_index() + index + 1
+            inlier_frac = None
             if self.use_sim3:
                 pose_det = self.map.get_submap(loop.detected_submap_id) \
                     .get_pose_subframe(loop.detected_submap_frame)
                 pose_query = sub.get_pose_subframe(loop_index)
                 # GTSAM Pose3.between(a, b) = a^-1 b (reference solver.py:353)
                 H_rel_lc = np.linalg.inv(pose_det) @ pose_query
+                if self.loop_inlier_thresh > 0:
+                    # Sim3 mode takes the factor from the poses, but the
+                    # geometric gate still needs evidence the two frames
+                    # see the same surface: run the same registration
+                    # RANSAC purely as a verification score.
+                    pts_det = self.map.get_submap(loop.detected_submap_id) \
+                        .get_frame_pointcloud(loop.detected_submap_frame) \
+                        .reshape(-1, 3)
+                    pts_query = sub.get_frame_pointcloud(loop_index) \
+                        .reshape(-1, 3)
+                    with self._stage("ap_loop_ransac"):
+                        _, inlier_frac = self._ransac(
+                            pts_query, pts_det, return_inlier_frac=True)
             else:
                 pts_det = self.map.get_submap(loop.detected_submap_id) \
                     .get_frame_pointcloud(loop.detected_submap_frame).reshape(-1, 3)
                 pts_query = sub.get_frame_pointcloud(loop_index).reshape(-1, 3)
                 with self._stage("ap_loop_ransac"):
-                    H_rel_lc = self._ransac(pts_query, pts_det)
+                    H_rel_lc, inlier_frac = self._ransac(
+                        pts_query, pts_det, return_inlier_frac=True)
+            gate_ref = (float(np.median(self._seq_reg_fracs))
+                        if self._seq_reg_fracs else None)
+            if (self.loop_inlier_thresh > 0 and inlier_frac is not None
+                    and gate_ref is not None and gate_ref > 0
+                    and inlier_frac < self.loop_inlier_thresh * gate_ref):
+                # Reject: the retrieval hit has no consistent projective
+                # registration between the two views. The loop FRAME has
+                # already ridden through the forward (it is part of this
+                # submap's batch, matching the reference flow) — only the
+                # graph factor is withheld, so a rejected loop costs
+                # nothing downstream.
+                self.rejected_loop_count += 1
+                print(f"loop rejected by geometric gate: submap "
+                      f"{loop.detected_submap_id} frame "
+                      f"{loop.detected_submap_frame} -> submap "
+                      f"{loop.query_submap_id} (inlier frac "
+                      f"{inlier_frac:.3f} < {self.loop_inlier_thresh} x "
+                      f"sequential median {gate_ref:.3f})")
+                continue
             self.graph.add_between_factor(loop.detected_submap_id,
                                           loop.query_submap_id, H_rel_lc,
                                           self.graph.relative_noise)

@@ -55,6 +55,8 @@ def build_cfg(model_size: str, on_tpu: bool, attn_impl: str | None = None):
         return VGGTConfig.small(**kw)
     if model_size == "small64":
         return VGGTConfig.small64(**kw)
+    if model_size == "small256":
+        return VGGTConfig.small256(**kw)
     return VGGTConfig.tiny(img_size=518, **kw)
 
 
@@ -91,7 +93,8 @@ def load_train_state(opt_state_template, path: str):
     return restored, int(data["step"])
 
 
-def make_loss_fn(cfg, pose_weight: float, conf_alpha: float):
+def make_loss_fn(cfg, pose_weight: float, conf_alpha: float,
+                 scale_weight: float = 0.0):
     import jax.numpy as jnp
 
     from vggt_slam_tpu.models.vggt.model import VGGT
@@ -108,7 +111,33 @@ def make_loss_fn(cfg, pose_weight: float, conf_alpha: float):
         aux = {"pose_mse": pose_loss, "depth_l1": jnp.mean(err),
                # Translation-only error: the part ATE actually scores.
                "trans_rmse": jnp.sqrt(jnp.mean(pose_err[:, :3]))}
-        return pose_weight * pose_loss + depth_loss, aux
+        loss = pose_weight * pose_loss + depth_loss
+        if scale_weight > 0.0:
+            # Metric-scale consistency (VERDICT r4 item 8): the eval's
+            # Sim3-aligned ATE reports `ate_scale` = GT/estimate scale
+            # ratio, and the r4 checkpoints landed at 0.89-1.94 per
+            # sequence — the conf-weighted L1 lets a systematic scale
+            # bias hide wherever confidence is low (the model down-
+            # weights exactly the far regions that anchor scale), and
+            # the pose MSE spreads its gradient over all 9 encoding
+            # dims rather than the scene-scale mode specifically. Pin
+            # the scale mode directly, in log space (symmetric in
+            # over/under-scale), on the scene's mean depth and mean
+            # camera-translation magnitude: both are smooth O(1)
+            # statistics of quantities the batch already carries.
+            d_ratio = (jnp.mean(out["depth"][..., 0]) /
+                       (jnp.mean(batch["depth_gt"]) + 1e-6))
+            t_pred = jnp.linalg.norm(out["pose_enc"][1:, :3], axis=-1)
+            t_gt = jnp.linalg.norm(batch["pose_enc_gt"][1:, :3], axis=-1)
+            # frame 0 is the identity anchor (zero translation); mean
+            # magnitude over the rest is the trajectory's scale mode.
+            t_ratio = (jnp.mean(t_pred) + 1e-6) / (jnp.mean(t_gt) + 1e-6)
+            scale_loss = (jnp.log(jnp.maximum(d_ratio, 1e-6)) ** 2 +
+                          jnp.log(jnp.maximum(t_ratio, 1e-6)) ** 2)
+            aux["scale_loss"] = scale_loss
+            aux["depth_scale"] = d_ratio
+            loss = loss + scale_weight * scale_loss
+        return loss, aux
 
     return loss_fn
 
@@ -123,13 +152,18 @@ def main():
                         "bucket: submap_size + overlap + max_loops)")
     p.add_argument("--image_hw", type=int, nargs=2, default=(392, 518))
     p.add_argument("--model_size", default="small",
-                   choices=["small", "small64", "tiny"])
+                   choices=["small", "small64", "small256", "tiny"])
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--warmup", type=int, default=200)
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--clip", type=float, default=1.0)
     p.add_argument("--pose_weight", type=float, default=5.0)
     p.add_argument("--conf_alpha", type=float, default=0.2)
+    p.add_argument("--scale_weight", type=float, default=0.0,
+                   help="metric-scale consistency weight (log-space depth "
+                        "+ translation scale-ratio penalty; 0 = off, the "
+                        "pre-r5 recipe). Targets ate_scale ~= 1 on the "
+                        "eval set (VERDICT r4 item 8).")
     p.add_argument("--ckpt_every", type=int, default=500)
     p.add_argument("--val_every", type=int, default=250)
     p.add_argument("--seed", type=int, default=0)
@@ -187,7 +221,8 @@ def main():
             print(f"resumed opt state + step {last_step} from {opt_path}",
                   flush=True)
 
-    loss_fn = make_loss_fn(cfg, args.pose_weight, args.conf_alpha)
+    loss_fn = make_loss_fn(cfg, args.pose_weight, args.conf_alpha,
+                           args.scale_weight)
 
     @jax.jit
     def train_step(params, opt_state, batch):
