@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from vggt_slam_tpu.data.images import load_and_preprocess_images
-from vggt_slam_tpu.ops import geometry, lie
+from vggt_slam_tpu.ops import geometry
 from vggt_slam_tpu.ops.homography import ransac_projective
 from vggt_slam_tpu.slam.graph import PoseGraph
 from vggt_slam_tpu.slam.keyframe import FrameTracker
@@ -272,29 +272,49 @@ class Solver:
         detected_loops = pred_dict["detected_loops"]
 
         wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        if self.use_point_map:
-            world_points = np.asarray(pred_dict["world_points"], np.float64)
-            conf = np.asarray(pred_dict["world_points_conf"])
-        elif "unproj_points" in pred_dict:
-            # depth-unprojection already ran inside the model's compiled
-            # program (make_bucketed_model_fn with_unprojection=True)
-            world_points = pred_dict["unproj_points"]
-            conf = np.asarray(pred_dict["depth_conf"])
-        else:
-            # Channel-first through the jit boundary (see _put_points);
-            # moveaxis restores the (S,H,W,3) numpy view for free.
-            depth = np.asarray(pred_dict["depth"])
-            world_points = np.moveaxis(np.asarray(
-                geometry.unproject_depth_map_to_point_map_cf(
-                    jnp.asarray(depth[..., 0] if depth.ndim == 4 else depth,
-                                wide),
-                    jnp.asarray(extrinsics_cam, wide),
-                    jnp.asarray(intrinsics_cam, wide))), 0, -1)
-            conf = np.asarray(pred_dict["depth_conf"])
+        with self._stage("ap_unpack"):
+            if self.use_point_map:
+                world_points = np.asarray(pred_dict["world_points"],
+                                          np.float64)
+                conf = np.asarray(pred_dict["world_points_conf"])
+            elif "unproj_points" in pred_dict:
+                # depth-unprojection already ran inside the model's compiled
+                # program (make_bucketed_model_fn with_unprojection=True)
+                world_points = pred_dict["unproj_points"]
+                conf = np.asarray(pred_dict["depth_conf"])
+            else:
+                # Channel-first through the jit boundary (see _put_points);
+                # moveaxis restores the (S,H,W,3) numpy view for free.
+                depth = np.asarray(pred_dict["depth"])
+                world_points = np.moveaxis(np.asarray(
+                    geometry.unproject_depth_map_to_point_map_cf(
+                        jnp.asarray(depth[..., 0] if depth.ndim == 4
+                                    else depth, wide),
+                        jnp.asarray(extrinsics_cam, wide),
+                        jnp.asarray(intrinsics_cam, wide))), 0, -1)
+                conf = np.asarray(pred_dict["depth_conf"])
 
-        colors = (np.transpose(images, (0, 2, 3, 1)) * 255).astype(np.uint8)
-        cam_to_world = np.array(lie.se3_inverse(
-            jnp.asarray(extrinsics_cam, wide)))
+        with self._stage("ap_colors"):
+            colors = (np.transpose(images, (0, 2, 3, 1)) * 255).astype(
+                np.uint8)
+        with self._stage("ap_poses"):
+            # Host numpy SE(3) inverse (R^T, -R^T t). The earlier
+            # lie.se3_inverse device call dispatched eagerly through the
+            # axon tunnel (~2.5 s/submap of round trips for 34 tiny 4x4
+            # ops, evals/results/pipeline_overlap.txt r5 bisect) AND
+            # forced a device sync mid-integration, which in pipelined
+            # mode queued behind the in-flight forward and defeated the
+            # dispatch-ahead overlap. (S, 3or4, 4) accepted.
+            E = np.asarray(extrinsics_cam,
+                           np.float64 if jax.config.jax_enable_x64
+                           else np.float32)
+            R = E[:, :3, :3]
+            t = E[:, :3, 3]
+            Rt = np.transpose(R, (0, 2, 1))
+            cam_to_world = np.tile(np.eye(4, dtype=E.dtype),
+                                   (E.shape[0], 1, 1))
+            cam_to_world[:, :3, :3] = Rt
+            cam_to_world[:, :3, 3] = -np.einsum("nij,nj->ni", Rt, t)
 
         sub = pred_dict.get("submap") or self.current_working_submap
         new_id = sub.get_id()
@@ -309,13 +329,15 @@ class Solver:
         else:
             prior_id = self.map.get_largest_key()
             prior_submap = self.map.get_submap(prior_id)
-            current_pts = world_points[0].reshape(-1, 3)
+            with self._stage("ap_mask"):
+                current_pts = world_points[0].reshape(-1, 3)
 
-            # Reference solver.py:286 - note the literal bool-multiply:
-            # prior_conf > thr where current conf > thr, else prior_conf > 0.
-            thr = prior_submap.get_conf_threshold()
-            good_mask = self.prior_conf > thr * (
-                conf[0].reshape(-1) > thr).astype(conf.dtype)
+                # Reference solver.py:286 - note the literal bool-multiply:
+                # prior_conf > thr where current conf > thr, else
+                # prior_conf > 0.
+                thr = prior_submap.get_conf_threshold()
+                good_mask = self.prior_conf > thr * (
+                    conf[0].reshape(-1) > thr).astype(conf.dtype)
 
             if self.use_sim3:
                 idx = prior_submap.get_last_non_loop_frame_index()
@@ -352,15 +374,17 @@ class Solver:
                 self._seq_reg_fracs.append(seq_frac)
 
             non_lc = sub.get_last_non_loop_frame_index()
-            self.prior_pcd = world_points[non_lc].reshape(-1, 3)
-            self.prior_conf = conf[non_lc].reshape(-1)
+            with self._stage("ap_prior"):
+                self.prior_pcd = world_points[non_lc].reshape(-1, 3)
+                self.prior_conf = conf[non_lc].reshape(-1)
 
             self.graph.add_homography(new_id, H_w_submap)
             self.graph.add_between_factor(prior_id, new_id, H_relative,
                                           self.graph.relative_noise)
 
-        sub.set_reference_homography(H_w_submap)
-        sub.add_all_poses(cam_to_world)
+        with self._stage("ap_homog_poses"):
+            sub.set_reference_homography(H_w_submap)
+            sub.add_all_poses(cam_to_world)
         with self._stage("ap_submap_store"):
             sub.add_all_points(world_points, colors, conf,
                                self.init_conf_threshold, intrinsics_cam)
