@@ -152,13 +152,26 @@ class Aggregator(nn.Module):
             # the scatter into f32 M becomes an error in future JAX.
             M = M.at[:, :, dst_patch].set(jnp.eye(Pd, dtype=jnp.float32))
             M = M.at[:, :, src_patch].set(A_t)
-            merge_state["M"] = (M * (1.0 / cnt)[..., None]).astype(cfg.dtype)
+            M_scaled = (M * (1.0 / cnt)[..., None]).astype(cfg.dtype)
             # Proportional-attention bias, frame-major kv layout: zeros for
             # frame 0 and specials, log(group size) for merged patch slots.
             zrow = jnp.zeros((S - 1, ns), jnp.float32)
             rows = jnp.concatenate([zrow, jnp.log(cnt)], axis=1)
-            merge_state["bias"] = jnp.concatenate(
+            bias = jnp.concatenate(
                 [jnp.zeros((N,), jnp.float32), rows.reshape(-1)])
+            # optimization_barrier: numerically the identity, but it
+            # forbids XLA from fusing the assignment computation (argmax /
+            # one-hot scatter) into downstream consumers. The r4 bisect
+            # localized the axon-worker-fatal family to the sim-merge
+            # GLUE's fusion context at narrow widths (ARCHITECTURE §9 —
+            # the isolated kernel and the stride-merge forward are clean,
+            # sim merge crashes); isolating the glue on both sides is the
+            # root-cause-level mitigation (r5: the un-barriered composite
+            # wedged the worker at width 256 in the full eval program even
+            # though the bare forward probed clean, so the trigger is the
+            # fusion context, not the width alone).
+            merge_state["M"], merge_state["bias"] = \
+                jax.lax.optimization_barrier((M_scaled, bias))
 
         def _kv_map(xg):
             """(1, S*N, C) post-norm tokens -> (1, n_kv, C) merged K/V set."""
@@ -171,7 +184,9 @@ class Aggregator(nn.Module):
             rest = jnp.concatenate([x_[1:, :ns], merged], axis=1)
             kv = jnp.concatenate(
                 [x_[0], rest.reshape((S - 1) * (ns + Pd), x_.shape[-1])])
-            return kv[None]
+            # Isolate the merge contraction from the attention custom
+            # call's fusion context (see _compute_assignment's barrier).
+            return jax.lax.optimization_barrier(kv)[None]
 
         captured: Dict[int, jax.Array] = {}
         capture_set = set(cfg.dpt_layers) | {cfg.agg_depth - 1}
