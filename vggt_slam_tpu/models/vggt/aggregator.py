@@ -253,11 +253,23 @@ def _check_fatal_merge_family(cfg, backend: str) -> None:
         return
     head_dim = cfg.agg_dim // cfg.agg_heads
     # Measured members (each crash = a 15-40 min worker restart loop):
-    #   stride>=16, agg_dim<=128, D=32 (r3 3x + r4 bisect 1x);
+    #   stride>=16, agg_dim<=128, D=32 (r3 3x + r4 bisect 1x + r5 1x —
+    #   the r5 crash ran WITH the optimization barriers, so the narrow-
+    #   width family is NOT fixed by isolating the glue from fusion);
     #   stride>=8,  agg_dim<=128, D=64 (r4: small64 eval, 2/2 crashes,
     #   while the SAME config at stride 1 ran a full eval sequence clean).
-    # Clean members bounding the family: stride 8 at D=32 (the whole r3
-    # ab_attention_s8 artifact) and every agg_dim>=1024 config.
+    # Boundary history at agg_dim 256 (r5): the bare forward probed clean
+    # at stride 8 AND 16 (evals/results/fence_probe.csv), yet the FULL
+    # eval program wedged the worker pre-barrier — the trigger is the
+    # glue's fusion context, not width alone. WITH the barriers
+    # (_compute_assignment/_kv_map above) width 256 ran the whole
+    # 40-sequence composite A/B at stride 8 and 16 clean
+    # (evals/results/ab_attention_s256*), so the fence keeps its
+    # agg_dim <= 128 boundary only because the barriers are
+    # unconditionally in the program now. Clean members bounding the
+    # family: stride 8 at D=32 (the whole r3 ab_attention_s8 artifact),
+    # barriered agg_dim 256 (81 eval sequences, r5), every
+    # agg_dim>=1024 config.
     # All measured crashes ran the flash kernel path around the glue; the
     # chunked-XLA fallback changes the fusion context entirely and is the
     # escape hatch (--attn_impl chunked), so only flash impls are fenced.
