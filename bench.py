@@ -79,7 +79,7 @@ def main_sharded(seq_parallel: bool):
     S = SUBMAP + 1
     H, W = 392, 518
     on_tpu = backend == "tpu"
-    stride = int(os.environ.get("BENCH_KV_STRIDE", "8"))
+    stride = int(os.environ.get("BENCH_KV_STRIDE", "16"))
 
     def make_cfg(stride):
         if not on_tpu:
@@ -190,7 +190,7 @@ def main():
     H, W = 392, 518
 
     on_tpu = backend == "tpu"
-    stride = int(os.environ.get("BENCH_KV_STRIDE", "8"))
+    stride = int(os.environ.get("BENCH_KV_STRIDE", "16"))
     merge = os.environ.get("BENCH_KV_MERGE", "sim")
     # Global-attention QK^T numerics (both operating points): bf16 by
     # default, matching the CLI; BENCH_QK_INT8=1 opts into the in-kernel

@@ -145,7 +145,8 @@ def main():
         f"backend={__import__('jax').default_backend()} "
         f"model={args.model_size} submap={args.submap_size} "
         f"frames={args.frames} image_hw={tuple(args.image_hw)} "
-        f"stride=8(sim,static-max flash) retrieval=tiny",
+        f"stride={run_args.global_kv_stride or 'default'}"
+        f"(sim,static-max flash) retrieval=tiny",
         "",
         f"PIPELINED (default): {pip['fps']:.2f} FPS end-to-end "
         f"({pip['n_frames']} frames / {pip['wall_s']:.1f} s); "

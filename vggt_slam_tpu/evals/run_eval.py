@@ -61,8 +61,9 @@ def _slam_flags(image_dir: str, args, log_path: str) -> list[str]:
     if args.model_size != "1b":
         flags += ["--model_size", args.model_size]
     # Always pass the stride: main.py's default is the merged operating
-    # point (8), so omitting the flag would silently override a stride-1
-    # (exact attention) request from this harness.
+    # point (16 at wide configs / 8 at fenced widths, r5), so omitting
+    # the flag would silently override a stride-1 (exact attention)
+    # request from this harness.
     flags += ["--global_kv_stride", str(args.global_kv_stride)]
     if args.global_softmax:
         flags += ["--global_softmax", args.global_softmax]

@@ -92,16 +92,22 @@ parser.add_argument("--model_size", type=str, default="1b",
                     choices=["1b", "small", "small64", "small256", "tiny"],
                     help="model configuration (small64 = small at the "
                          "flagship D=64 head-dim)")
-parser.add_argument("--global_kv_stride", type=int, default=8,
+parser.add_argument("--global_kv_stride", type=int, default=None,
                     help="FastVGGT-style global-attention K/V token merging "
                          "budget: one K/V slot per N patch tokens of "
-                         "non-reference frames (1 = exact attention). The "
-                         "default (8) matches the benchmarked operating "
-                         "point, whose trajectory cost measured within the "
-                         "pipeline's numeric noise of exact attention "
-                         "(evals/results/ab_attention_s8.csv); --global_merge "
-                         "sim merges dropped tokens into their most-similar "
-                         "kept neighbor rather than discarding them")
+                         "non-reference frames (1 = exact attention). "
+                         "Default: 16 for model widths outside the fenced "
+                         "sim-merge family (agg_dim > 128: 1b, small256), "
+                         "8 otherwise — the r5 composite A/B measured "
+                         "stride 16's trajectory cost statistically "
+                         "indistinguishable from stride 8's and from the "
+                         "merge-free softmax-matched baseline "
+                         "(evals/results/ab_attention_s256_paired.csv: "
+                         "merge knob -0.003 m [-0.015, +0.010] at n=40) "
+                         "while benching 32.89 vs 30.88 FPS; "
+                         "--global_merge sim merges dropped tokens into "
+                         "their most-similar kept neighbor rather than "
+                         "discarding them")
 parser.add_argument("--global_merge", type=str, default="sim",
                     choices=["sim", "stride"],
                     help="how the reduced K/V set is formed when "
@@ -166,6 +172,17 @@ def build_model_fn(args):
     attn_impl = (getattr(args, "attn_impl", None)
                  or ("flash" if on_tpu else "chunked"))
     stride = getattr(args, "global_kv_stride", 1)
+    if stride is None:
+        # Data-backed default (r5): stride 16 where the width is outside
+        # the fenced sim-merge family — ATE-equivalent to stride 8 AND to
+        # exact attention under the matched softmax
+        # (ab_attention_s256_paired.csv) and ~6.5% faster end-to-end
+        # (32.89 vs 30.88 FPS). Narrow widths keep 8 (the stride-16
+        # narrow-width program is the measured worker-fatal family,
+        # aggregator._check_fatal_merge_family).
+        agg_dim = {"tiny": 32, "small": 128, "small64": 128,
+                   "small256": 256}.get(args.model_size, 1024)
+        stride = 16 if agg_dim > 128 else 8
     # In the default depth-unprojection mode the point head's (3,S,H,W) map
     # is never consumed (registration unprojects from depth, reference
     # solver.py:249-256) - skip its ~77 ms of compute and ~320 MB of
