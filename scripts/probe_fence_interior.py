@@ -32,14 +32,18 @@ import subprocess
 import sys
 import time
 
-# (agg_dim, heads, stride): D = agg_dim/heads. 256/512 probe at the
-# flagship D=64 (the dim whose family extends down to stride 8);
-# 192/384 at D=32 and D=64-adjacent head counts fill the width axis.
+# (agg_dim, heads, stride): D = agg_dim/heads. 256/384/512 probe at the
+# flagship D=64 (the dim whose family extends down to stride 8).
+# Width 192 is STRUCTURALLY EXCLUDED: the packed-heads flash layout
+# needs D | 128 and heads % (128/D) == 0, and no factorization of 192
+# satisfies both (D in {16,32,64} gives heads {12,6,3} vs hp {8,4,2}) —
+# a 192-wide config raises a Pallas BlockSpec error at trace time
+# (measured: the 192 rows in the first sweep were this trace error,
+# not worker faults) and so can never reach the fault family under the
+# flash impl at all.
 PROBES = [
     (256, 4, 8),    # the small256 composite A/B operating point
     (256, 4, 16),
-    (192, 6, 8),    # D=32: stride 8 is clean at 128, fatal boundary?
-    (192, 6, 16),   # D=32: stride 16 is fatal at 128
     (384, 6, 8),    # D=64
     (384, 6, 16),
     (512, 8, 8),    # D=64
