@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -810,7 +811,18 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         rk_spec3 = pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0))
         rope_specs3 = [rq_spec3, rq_spec3, rk_spec3, rk_spec3]
 
+    # Experiment knob (VGGT_FLASH_ALIAS_Q=1): alias the q operand's HBM
+    # buffer with output 0. Shapes/block maps are identical, q is dead
+    # after the call, and every grid cell reads its q tile (j==0 with the
+    # rope/int8 scratch cache; same-region re-reads otherwise) before the
+    # last-j output write to the same region — so the alias is safe and
+    # saves the output allocation + the copy XLA keeps at the custom-call
+    # boundary for it. Measured before flipping any default.
+    alias_q = (os.environ.get("VGGT_FLASH_ALIAS_Q") == "1"
+               and not return_stats)
+
     if nk_blocks == 1:
+        q_idx2 = 1 + len(ln_ops) + len(bias_ops) + len(rope_ops)
         out = pl.pallas_call(
             functools.partial(_flash_single_kernel, masked=masked,
                               has_rope=has_rope, has_bias=has_bias,
@@ -822,6 +834,7 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
             bias_specs2 + rope_specs2 + qkv_specs((q_map2, k_map2)),
             out_specs=out_spec2,
             out_shape=out_shape,
+            input_output_aliases={q_idx2: 0} if alias_q else {},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
                 # v5e has 128MB VMEM; the default 16MB scoped limit rejects
@@ -859,6 +872,8 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         # pipeline and reorder the parallel axes.
         semantics = ("parallel", "parallel", "arbitrary")
 
+    q_idx3 = (1 + len(sm_ops) + len(sc_ops) + len(ln_ops) + len(bias_ops)
+              + len(rope_ops))
     out = pl.pallas_call(
         kernel,
         grid=(B * H // hp, nq_blocks, nk_blocks),
@@ -867,6 +882,7 @@ def _flash_call(q, k, v, valid_len, block_q, block_k, interpret,
         qkv_specs((q_map3, k_map3)),
         out_specs=out_spec3,
         out_shape=out_shape,
+        input_output_aliases={q_idx3: 0} if alias_q else {},
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics,
